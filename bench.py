@@ -1,0 +1,114 @@
+"""Benchmark entry point. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Current headline benchmark (round 1): HuMoR autoregressive rollout
+throughput — the inner loop of every flagship workload (sampling eval and
+the stage-3 TTO closure both roll the CVAE forward step by step;
+SURVEY.md §3.2 marks it the hottest path).
+
+vs_baseline: speedup over a faithful torch (CPU) re-creation of the
+reference's per-step Python rollout (humor_model.py:785-1017 structure:
+per-step MLP prior+decode with per-step canonicalization), measured
+locally since the reference publishes no numbers (BASELINE.md).
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("XLA_FLAGS", "")
+
+
+def bench_jax_rollout(batch=16, steps=60, iters=5):
+    import jax
+    import numpy as np
+
+    from humor_tpu.body_model.smpl import synthetic_smpl_model
+    from humor_tpu.data.synthetic import synthetic_world_batch
+    from humor_tpu.models import humor as H
+
+    cfg = H.HumorConfig()
+    params = H.init_params(cfg, jax.random.PRNGKey(0))
+    body = synthetic_smpl_model()
+    world, _ = synthetic_world_batch(0, batch, 2, model=body)
+    init_state = {k: v[:, 0] for k, v in world.items()
+                  if k in cfg.input_spec.names}
+
+    fn = jax.jit(lambda p, k, s: H.rollout(cfg, p, k, s, steps,
+                                           canonicalize_input=True)
+                 .world["trans"])
+    key = jax.random.PRNGKey(1)
+    # compile + warm the execution path (the remote-TPU tunnel needs
+    # several round trips before timings stabilize)
+    for i in range(10):
+        fn(params, jax.random.fold_in(key, 1000 + i),
+           init_state).block_until_ready()
+    times = []
+    for i in range(max(iters, 10)):
+        t0 = time.perf_counter()
+        fn(params, jax.random.fold_in(key, i), init_state).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2]  # median seconds per batch rollout
+
+
+def bench_torch_reference_style(batch=16, steps=60, iters=2):
+    """Reference-style rollout: per-step Python loop, torch MLPs of the
+    same architecture (4x1024 prior + decoder w/ latent skip), per-step
+    heading canonicalization. CPU torch (no CUDA in this image)."""
+    import numpy as np
+    import torch
+
+    torch.manual_seed(0)
+    D, L = 339, 48
+
+    def mlp(sizes):
+        layers = [torch.nn.Linear(sizes[0], sizes[1])]
+        for i in range(1, len(sizes) - 1):
+            layers += [torch.nn.GroupNorm(16, sizes[i]), torch.nn.ReLU(),
+                       torch.nn.Linear(sizes[i], sizes[i + 1])]
+        return torch.nn.Sequential(*layers)
+
+    prior = mlp([D, 1024, 1024, 1024, 1024, L * 2])
+    decoder = mlp([D + L, 1024, 1024, 512, 216])
+
+    def rollout_once():
+        x = torch.randn(batch, D)
+        with torch.no_grad():
+            for _ in range(steps):
+                pz = prior(x)
+                m, lv = pz[:, :L], pz[:, L:]
+                z = m + torch.randn_like(m) * torch.exp(0.5 * lv)
+                out = decoder(torch.cat([x, z], dim=1))
+                # stand-in for delta-compose + canonicalization cost:
+                # a few small matmuls per step like the reference
+                R = torch.randn(batch, 3, 3)
+                _ = torch.matmul(R, R)
+                x = torch.cat([out, x[:, 216:]], dim=1)
+        return x
+
+    rollout_once()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        rollout_once()
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    dt_jax = bench_jax_rollout()
+    try:
+        dt_ref = bench_torch_reference_style()
+        vs = dt_ref / dt_jax
+    except Exception:
+        vs = float("nan")
+    print(json.dumps({
+        "metric": "rollout_60steps_b16_wallclock",
+        "value": round(dt_jax * 1000.0, 3),
+        "unit": "ms",
+        "vs_baseline": round(vs, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,224 @@
+"""HuMoR training loss: weighted ELBO over typed state predictions.
+
+Behavioral parity target: /root/reference/humor/losses/humor_loss.py
+(class HumorLoss :17-391): per-component L2 regression, closed-form
+KL(q || p) with linear / cyclic annealing, contact BCE + confusion stats,
+contact-velocity regularizer, and SMPL-reconstruction losses (joint, mesh,
+joint- and vert-consistency).
+
+TPU-first design: a pure function of (config, pred, gt, epoch, ...);
+`epoch` is a traced scalar so the anneal schedule does not trigger
+recompiles; mixed genders run through the where-select batched body model
+(humor_tpu.body_model.gendered) instead of the reference's split-and-pad.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from humor_tpu.body_model import constants as C
+from humor_tpu.body_model.gendered import gendered_forward
+from humor_tpu.ops import transforms
+
+CONTACT_THRESH = 0.5
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    """Weights: 0 disables a term (reference humor_loss.py:19-41).
+
+    Defaults follow configs/train_humor.cfg."""
+
+    kl_loss: float = 0.0004
+    kl_loss_anneal_start: int = 0
+    kl_loss_anneal_end: int = 50
+    kl_loss_cycle_len: int = -1
+
+    regr_trans_loss: float = 1.0
+    regr_trans_vel_loss: float = 1.0
+    regr_root_orient_loss: float = 1.0
+    regr_root_orient_vel_loss: float = 1.0
+    regr_pose_loss: float = 1.0
+    regr_pose_vel_loss: float = 1.0
+    regr_joint_loss: float = 1.0
+    regr_joint_vel_loss: float = 1.0
+    regr_joint_orient_vel_loss: float = 1.0
+    regr_vert_loss: float = 1.0
+    regr_vert_vel_loss: float = 1.0
+
+    contacts_loss: float = 0.01
+    contacts_vel_loss: float = 0.01
+
+    smpl_joint_loss: float = 1.0
+    smpl_mesh_loss: float = 1.0
+    smpl_joint_consistency_loss: float = 1.0
+    smpl_vert_consistency_loss: float = 0.0
+
+    @property
+    def regr_weights(self) -> Dict[str, float]:
+        return {
+            "trans": self.regr_trans_loss,
+            "trans_vel": self.regr_trans_vel_loss,
+            "root_orient": self.regr_root_orient_loss,
+            "root_orient_vel": self.regr_root_orient_vel_loss,
+            "pose_body": self.regr_pose_loss,
+            "pose_body_vel": self.regr_pose_vel_loss,
+            "joints": self.regr_joint_loss,
+            "joints_vel": self.regr_joint_vel_loss,
+            "joints_orient_vel": self.regr_joint_orient_vel_loss,
+            "verts": self.regr_vert_loss,
+            "verts_vel": self.regr_vert_vel_loss,
+        }
+
+    @property
+    def use_smpl_losses(self) -> bool:
+        return (self.smpl_joint_loss + self.smpl_mesh_loss
+                + self.smpl_joint_consistency_loss
+                + self.smpl_vert_consistency_loss) > 0.0
+
+
+def kl_normal(qm, qv, pm, pv):
+    """Elementwise KL(q || p) between diagonal Gaussians, summed over the
+    last dim (reference humor_loss.py:359)."""
+    el = 0.5 * (jnp.log(pv) - jnp.log(qv) + qv / pv
+                + jnp.square(qm - pm) / pv - 1.0)
+    return jnp.sum(el, axis=-1)
+
+
+def log_normal(x, m, v):
+    """Diagonal-Gaussian log density summed over the last dim
+    (reference humor_loss.py:377)."""
+    lp = (-0.5 * jnp.log(2.0 * jnp.pi) - 0.5 * jnp.log(v)
+          - jnp.square(x - m) / (2.0 * v))
+    return jnp.sum(lp, axis=-1)
+
+
+def kl_anneal_weight(cfg: LossConfig, epoch) -> jnp.ndarray:
+    """Linear or cyclic KL annealing (reference humor_loss.py:130-143)."""
+    epoch = jnp.asarray(epoch, jnp.float32)
+    if cfg.kl_loss_cycle_len > 0:
+        e = jnp.mod(epoch, cfg.kl_loss_cycle_len)
+        start, end = 0.0, cfg.kl_loss_cycle_len / 2.0
+    elif cfg.kl_loss_anneal_end > cfg.kl_loss_anneal_start:
+        e = epoch
+        start = float(cfg.kl_loss_anneal_start)
+        end = float(cfg.kl_loss_anneal_end)
+    else:
+        return jnp.asarray(1.0, jnp.float32)
+    w = (e - start) / (end - start)
+    return jnp.clip(jnp.where(e >= start, w, 0.0), 0.0, 1.0)
+
+
+def elbo_loss(
+    cfg: LossConfig,
+    pred: Dict[str, jnp.ndarray],            # typed (N, D), mat rotations
+    posterior: Tuple[jnp.ndarray, jnp.ndarray],
+    prior: Tuple[jnp.ndarray, jnp.ndarray],
+    gt: Dict[str, jnp.ndarray],              # typed (N, D), mat rotations
+    epoch,                                    # traced scalar
+    gender_ids: Optional[jnp.ndarray] = None,  # (N,) int32
+    betas: Optional[jnp.ndarray] = None,       # (N, 16)
+    smpl_models: Optional[Dict] = None,        # {"male","female"} SmplModel
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Total weighted loss + stats dict. All arrays are step-flattened
+    (N = B*T*steps_out, like reference step() humor_model.py:82-97)."""
+    stats: Dict[str, jnp.ndarray] = {}
+    loss = jnp.asarray(0.0, jnp.float32)
+
+    # --- KL ---
+    kl_weighted = jnp.asarray(0.0, jnp.float32)
+    if cfg.kl_loss > 0.0:
+        kl = kl_normal(posterior[0], posterior[1], prior[0], prior[1]).mean()
+        aw = kl_anneal_weight(cfg, epoch)
+        kl_weighted = aw * cfg.kl_loss * kl
+        loss = loss + kl_weighted
+        stats["kl_loss"] = kl
+        stats["kl_anneal_weight"] = aw
+        stats["kl_weighted_loss"] = kl_weighted
+
+    # --- per-component regression (mean squared error) ---
+    for name, w in cfg.regr_weights.items():
+        if w > 0.0 and name in gt and name in pred:
+            term = jnp.mean(jnp.square(pred[name] - gt[name]))
+            stats[f"{name}_loss"] = term
+            loss = loss + w * term
+
+    # --- contacts BCE + confusion stats ---
+    if cfg.contacts_loss > 0.0 and "contacts" in pred and "contacts" in gt:
+        logits = pred["contacts"]
+        labels = gt["contacts"]
+        bce = jnp.mean(
+            jnp.maximum(logits, 0) - logits * labels
+            + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+        stats["contacts_loss"] = bce
+        loss = loss + cfg.contacts_loss * bce
+
+        p = jax.nn.sigmoid(logits) > CONTACT_THRESH
+        g = labels > 0.5
+        tp = jnp.sum(p & g).astype(jnp.float32)
+        fp = jnp.sum(p & ~g).astype(jnp.float32)
+        fn = jnp.sum(~p & g).astype(jnp.float32)
+        tn = jnp.sum(~p & ~g).astype(jnp.float32)
+        stats["contacts_acc"] = (tp + tn) / (tp + fp + fn + tn)
+        stats["contacts_pos_acc"] = tp / jnp.maximum(tp + fn, 1.0)
+        stats["contacts_neg_acc"] = tn / jnp.maximum(tn + fp, 1.0)
+
+    # --- contact-velocity regularizer ---
+    if (cfg.contacts_vel_loss > 0.0 and "contacts" in pred
+            and "joints_vel" in pred):
+        probs = jax.nn.sigmoid(pred["contacts"])  # (N, 9)
+        jv = pred["joints_vel"].reshape(-1, C.NUM_SMPL_JOINTS, 3)
+        cv = jv[:, jnp.asarray(C.CONTACT_INDS)]
+        velsq = jnp.sum(cv * cv, axis=-1)  # |v|^2, (N, 9)
+        term = jnp.mean(probs * velsq)
+        stats["contacts_vel_loss"] = term
+        loss = loss + cfg.contacts_vel_loss * term
+
+    # --- SMPL reconstruction losses ---
+    if cfg.use_smpl_losses and smpl_models is not None:
+        if gender_ids is None or betas is None:
+            raise ValueError("SMPL losses require gender_ids and betas")
+        N = pred["trans"].shape[0]
+        p_orient = transforms.rotmat_to_aa(pred["root_orient"].reshape(N, 3, 3))
+        g_orient = transforms.rotmat_to_aa(gt["root_orient"].reshape(N, 3, 3))
+        p_pose = transforms.rotmat_to_aa(
+            pred["pose_body"].reshape(N, C.NUM_BODY_JOINTS, 3, 3)
+        ).reshape(N, -1)
+        g_pose = transforms.rotmat_to_aa(
+            gt["pose_body"].reshape(N, C.NUM_BODY_JOINTS, 3, 3)
+        ).reshape(N, -1)
+
+        pred_body = gendered_forward(smpl_models, gender_ids, p_orient,
+                                     p_pose, betas, pred["trans"])
+        gt_body = gendered_forward(smpl_models, gender_ids, g_orient,
+                                   g_pose, betas, gt["trans"])
+        pj = pred_body.Jtr[:, :C.NUM_SMPL_JOINTS]
+        gj = gt_body.Jtr[:, :C.NUM_SMPL_JOINTS]
+
+        if cfg.smpl_joint_loss > 0.0:
+            term = jnp.mean(jnp.square(pj - gj))
+            stats["smpl_joint_loss"] = term
+            loss = loss + cfg.smpl_joint_loss * term
+        if cfg.smpl_mesh_loss > 0.0:
+            term = jnp.mean(jnp.square(pred_body.v - gt_body.v))
+            stats["smpl_mesh_loss"] = term
+            loss = loss + cfg.smpl_mesh_loss * term
+        if cfg.smpl_joint_consistency_loss > 0.0 and "joints" in pred:
+            rj = pred["joints"].reshape(N, C.NUM_SMPL_JOINTS, 3)
+            term = jnp.mean(jnp.square(pj - rj))
+            stats["smpl_joint_consistency_loss"] = term
+            loss = loss + cfg.smpl_joint_consistency_loss * term
+        if cfg.smpl_vert_consistency_loss > 0.0 and "verts" in pred:
+            kv = pred_body.v[:, jnp.asarray(C.KEYPT_VERTS)]
+            rv = pred["verts"].reshape(N, C.NUM_KEYPT_VERTS, 3)
+            term = jnp.mean(jnp.square(kv - rv))
+            stats["smpl_vert_consistency_loss"] = term
+            loss = loss + cfg.smpl_vert_consistency_loss * term
+
+    if cfg.kl_loss > 0.0:
+        stats["reconstr_weighted_loss"] = loss - kl_weighted
+    return loss, stats
