@@ -1,0 +1,55 @@
+"""On-device L-BFGS: convergence on convex/ill-conditioned problems,
+gradient-mask freezing (the stage-3 sub-schedule mechanism), jit-ability.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from humor_tpu.fitting.lbfgs import LbfgsResult, make_mask, run_lbfgs
+
+
+def test_quadratic_converges():
+    A = jnp.asarray(np.diag([1.0, 10.0, 100.0]), jnp.float32)
+    b = jnp.asarray([1.0, -2.0, 3.0], jnp.float32)
+
+    def loss(p):
+        x = p["x"]
+        return 0.5 * x @ A @ x - b @ x
+
+    res = run_lbfgs(loss, {"x": jnp.zeros(3)}, num_iters=30)
+    expected = np.linalg.solve(np.asarray(A), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(res.params["x"]), expected,
+                               atol=1e-4)
+    assert res.loss_history[-1] < res.loss_history[0]
+
+
+def test_rosenbrock_under_jit():
+    def loss(p):
+        x, y = p["xy"][0], p["xy"][1]
+        return (1 - x) ** 2 + 100.0 * (y - x * x) ** 2
+
+    fit = jax.jit(lambda p0: run_lbfgs(loss, p0, num_iters=80).params)
+    out = fit({"xy": jnp.asarray([-1.2, 1.0])})
+    np.testing.assert_allclose(np.asarray(out["xy"]), [1.0, 1.0], atol=1e-3)
+
+
+def test_mask_freezes_variables():
+    def loss(p):
+        return jnp.sum((p["a"] - 3.0) ** 2) + jnp.sum((p["b"] + 1.0) ** 2)
+
+    init = {"a": jnp.zeros(2), "b": jnp.zeros(2)}
+    mask = make_mask(init, lambda k: k == "a")
+    res = run_lbfgs(loss, init, num_iters=25, mask=mask)
+    np.testing.assert_allclose(np.asarray(res.params["a"]), 3.0, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(res.params["b"]), 0.0)
+
+
+def test_has_aux_stats():
+    def loss(p):
+        l = jnp.sum(p["x"] ** 2)
+        return l, {"l2": l}
+
+    res = run_lbfgs(loss, {"x": jnp.ones(4)}, num_iters=10, has_aux=True)
+    assert isinstance(res, LbfgsResult)
+    assert np.asarray(res.stats_history["l2"]) < 1e-6
