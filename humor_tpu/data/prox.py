@@ -1,0 +1,218 @@
+"""PROX RGB-D observation loader: Kinect depth + OpenPose 2D -> masked,
+backprojected point clouds and keypoints for TTO.
+
+Behavioral parity target: /root/reference/humor/datasets/prox_dataset.py
+(Projection calibration :443-548 — undistort/unproject/reproject; depth
+point-cloud capped at max_pts=4096 :319-349; flip handling :276-281;
+mask occlusion :284-290; RANSAC floor-from-scene :360-427 simplified;
+gender from subject id :430-434; 90-frame edge trim :18).
+
+Data layout is the public PROX release. cv2 is required only for the
+undistortion path; everything else is numpy.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import os.path as osp
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from humor_tpu.body_model import constants as C
+from humor_tpu.data.rgb import (flip_keypoints, mask_occluded_joints,
+                                read_keypoints, split_overlapping_windows)
+
+TRIM_EDGES = 90          # reference prox_dataset.py:18
+MAX_POINTS = 4096        # reference :319
+FEMALE_SUBJECTS = [162, 3452, 159, 3403]  # reference :48
+
+
+def gender_of_subject(subject_id: int) -> str:
+    return "female" if subject_id in FEMALE_SUBJECTS else "male"
+
+
+class Projection:
+    """Kinect calibration: unproject depth to 3D, project to color frame
+    (reference Projection :443-548)."""
+
+    def __init__(self, calib_dir: str):
+        with open(osp.join(calib_dir, "IR.json")) as f:
+            self.depth_cam = json.load(f)
+        with open(osp.join(calib_dir, "Color.json")) as f:
+            self.color_cam = json.load(f)
+
+    def unproject_depth_image(self, depth: np.ndarray,
+                              cam: Dict) -> np.ndarray:
+        import cv2
+
+        h, w = depth.shape
+        us = np.arange(depth.size) % w
+        vs = np.arange(depth.size) // w
+        ds = depth.ravel()
+        uv = np.stack([us, vs], axis=-1).astype(np.float64)
+        xy = cv2.undistortPoints(
+            uv.reshape(1, -1, 2), np.asarray(cam["camera_mtx"]),
+            np.asarray(cam["k"])).squeeze(0)
+        xyz = np.concatenate([xy, ds[:, None]], axis=-1)
+        xyz[:, :2] *= xyz[:, 2:3]
+        view = np.asarray(cam["view_mtx"])
+        xyz = (xyz - view[:, 3][None]) @ view[:, :3]
+        return xyz.reshape(h, w, 3)
+
+    def project_points(self, pts: np.ndarray, cam: Dict) -> np.ndarray:
+        import cv2
+
+        return cv2.projectPoints(
+            pts.reshape(-1, 3).copy(), np.asarray(cam["R"], np.float64),
+            np.asarray(cam["T"], np.float64),
+            np.asarray(cam["camera_mtx"]),
+            np.asarray(cam["k"]))[0].squeeze(1)
+
+    def masked_point_cloud(self, depth: np.ndarray, mask: np.ndarray,
+                           max_pts: int = MAX_POINTS,
+                           seed: int = 0) -> np.ndarray:
+        """Person point cloud in the color-camera frame: zero out masked
+        (non-person) depth, unproject, subsample to max_pts with inf
+        padding (reference :319-349)."""
+        d = depth.copy()
+        d[mask != 0] = 0.0
+        pts = self.unproject_depth_image(d, self.depth_cam).reshape(-1, 3)
+        pts = pts[d.ravel() > 1e-2]
+        view = np.asarray(self.color_cam["view_mtx"])
+        if pts.shape[0]:
+            pts = pts @ view[:, :3].T + view[:, 3][None]
+        return subsample_points(pts, max_pts, seed)
+
+
+def subsample_points(pts: np.ndarray, max_pts: int,
+                     seed: int = 0) -> np.ndarray:
+    """Fixed-size point set: random subsample when over, inf-pad when
+    under (static shapes for jit; the fitting losses mask inf)."""
+    rng = np.random.RandomState(seed)
+    out = np.full((max_pts, 3), np.inf, np.float32)
+    n = pts.shape[0]
+    if n == 0:
+        return out
+    if n > max_pts:
+        sel = rng.choice(n, max_pts, replace=False)
+        out[:] = pts[sel]
+    else:
+        out[:n] = pts
+    return out
+
+
+def fit_floor_ransac(points: np.ndarray, n_iters: int = 200,
+                     thresh: float = 0.05, seed: int = 0
+                     ) -> np.ndarray:
+    """RANSAC plane fit over scene points -> (a, b, c, d) with the normal
+    flipped up in the camera frame (-y), replacing the reference's
+    RANSACRegressor+DBSCAN pipeline (:360-427) with a direct plane
+    RANSAC."""
+    rng = np.random.RandomState(seed)
+    best_inliers = -1
+    best = np.asarray([0.0, -1.0, 0.0, 0.5])
+    n = points.shape[0]
+    for _ in range(n_iters):
+        idx = rng.choice(n, 3, replace=False)
+        p0, p1, p2 = points[idx]
+        normal = np.cross(p1 - p0, p2 - p0)
+        norm = np.linalg.norm(normal)
+        if norm < 1e-9:
+            continue
+        normal = normal / norm
+        d = float(normal @ p0)
+        dist = np.abs(points @ normal - d)
+        inliers = int((dist < thresh).sum())
+        if inliers > best_inliers:
+            best_inliers = inliers
+            best = np.concatenate([normal, [d]])
+    if best[1] > 0:  # normal must face up (camera -y)
+        best = -best
+    return best.astype(np.float32)
+
+
+@dataclass
+class ProxConfig:
+    seq_len: int = 60
+    overlap_len: int = 10
+    max_points: int = MAX_POINTS
+    use_depth: bool = True
+    flip: bool = True          # PROX images are mirrored
+    img_width: int = 1920
+    img_height: int = 1080
+
+
+class ProxDataset:
+    """One PROX recording -> observation windows. Expects the public PROX
+    layout: recordings/<name>/{keypoints,Depth,BodyIndex}/..., calibration/
+    <cam>/ {IR,Color}.json."""
+
+    def __init__(self, recording_dir: str, calib_dir: str,
+                 cfg: ProxConfig, cam_mat: Optional[np.ndarray] = None):
+        self.cfg = cfg
+        self.recording_dir = recording_dir
+        self.projection = (Projection(calib_dir)
+                           if osp.isdir(calib_dir) else None)
+        keyp_paths = sorted(glob.glob(
+            osp.join(recording_dir, "keypoints", "*_keypoints.json")))
+        keyp_paths = keyp_paths[TRIM_EDGES:-TRIM_EDGES] \
+            if len(keyp_paths) > 2 * TRIM_EDGES else keyp_paths
+        self.keyp_paths = keyp_paths
+        frames = np.stack([read_keypoints(p) for p in keyp_paths]) \
+            if keyp_paths else np.zeros((0, C.OP_NUM_JOINTS, 3), np.float32)
+        if cfg.flip and frames.size:
+            frames = flip_keypoints(frames, cfg.img_width)
+        self.joints2d = frames
+        self.num_frames = frames.shape[0]
+        self.intervals, self.overlap = split_overlapping_windows(
+            max(self.num_frames, 1), cfg.seq_len, cfg.overlap_len)
+        if cam_mat is None and self.projection is not None:
+            cam_mat = np.asarray(
+                self.projection.color_cam["camera_mtx"], np.float32)
+        self.cam_mat = cam_mat
+
+    def observation_batch(self) -> Dict[str, np.ndarray]:
+        T = min(self.cfg.seq_len, max(self.num_frames, 1))
+        B = len(self.intervals)
+        out: Dict[str, np.ndarray] = {
+            "joints2d": np.zeros((B, T, C.OP_NUM_JOINTS, 3), np.float32),
+            "seq_interval": np.asarray(self.intervals, np.int32),
+        }
+        for b, (s, e) in enumerate(self.intervals):
+            out["joints2d"][b, : e - s] = self.joints2d[s:e]
+        if self.cam_mat is not None:
+            fx, fy = self.cam_mat[0, 0], self.cam_mat[1, 1]
+            cx, cy = self.cam_mat[0, 2], self.cam_mat[1, 2]
+            out["cam_f"] = np.tile([fx, fy], (B, 1)).astype(np.float32)
+            out["cam_center"] = np.tile([cx, cy], (B, 1)).astype(np.float32)
+        if self.cfg.use_depth and self.projection is not None:
+            out["points3d"] = self._depth_clouds(T)
+        return out
+
+    def _depth_clouds(self, T: int) -> np.ndarray:
+        import cv2
+
+        B = len(self.intervals)
+        clouds = np.full((B, T, self.cfg.max_points, 3), np.inf,
+                         np.float32)
+        for b, (s, e) in enumerate(self.intervals):
+            for t in range(e - s):
+                name = "_".join(osp.basename(
+                    self.keyp_paths[s + t]).split("_")[:-1])
+                dpath = osp.join(self.recording_dir, "Depth",
+                                 name + ".png")
+                mpath = osp.join(self.recording_dir, "BodyIndex",
+                                 name + ".png")
+                if not (osp.exists(dpath) and osp.exists(mpath)):
+                    continue
+                depth = cv2.imread(dpath, cv2.IMREAD_UNCHANGED)
+                depth = depth.astype(np.float64) / 8000.0
+                mask = cv2.imread(mpath, cv2.IMREAD_GRAYSCALE)
+                mask = np.where(mask == 255, 1, 0).astype(np.uint8)
+                clouds[b, t] = self.projection.masked_point_cloud(
+                    depth, mask, self.cfg.max_points, seed=s + t)
+        return clouds

@@ -1,0 +1,184 @@
+"""Quantitative fitting-evaluation metrics.
+
+Behavioral parity target: /root/reference/humor/fitting/eval_utils.py
+(quant_eval_3d :71-134, joint subsets :290-334, joint accel :336-341,
+toe-floor penetration :343-372, comparison-skeleton maps :374-389) and the
+CSV aggregation in eval_fitting_3d.py:361-491.
+
+TPU-first: every metric is a pure jnp function over full sequences with
+inf-sentinel visibility masks; aggregation stays in numpy on host (it is
+tiny). No per-frame .item() round trips.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from humor_tpu.body_model import constants as C
+from humor_tpu.fitting.geometry import compute_plane_intersection
+
+GRND_PEN_THRESH_LIST = [0.0, 0.03, 0.06, 0.09, 0.12, 0.15]
+DATA_FPS = 30.0
+DATA_H = 1.0 / DATA_FPS
+
+_J = C.SMPL_JOINTS
+EE_SUBSET = [_J["leftFoot"], _J["rightFoot"], _J["leftToeBase"],
+             _J["rightToeBase"], _J["leftHand"], _J["rightHand"]]
+LEGS_SUBSET = [_J["leftFoot"], _J["rightFoot"], _J["leftToeBase"],
+               _J["rightToeBase"], _J["leftLeg"], _J["rightLeg"]]
+
+# 12-joint comparison skeleton (iMapper eval; reference eval_utils.py:374-389)
+IMAP2COMPARE = [0, 1, 4, 5, 6, 7, 10, 11, 12, 13, 14, 15]
+COMP_ROOT_IDX = 4
+SMPL2COMPARE = [_J["rightFoot"], _J["rightLeg"], _J["leftLeg"],
+                _J["leftFoot"], _J["hips"], _J["neck"], _J["rightHand"],
+                _J["rightForeArm"], _J["rightArm"], _J["leftArm"],
+                _J["leftForeArm"], _J["leftHand"]]
+
+
+def positional_errors(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    """Per-point position error: (T, N, 3) -> (T, N)."""
+    return jnp.linalg.norm(pred - gt, axis=-1)
+
+
+def subset_joint_err(pred: jnp.ndarray, gt: jnp.ndarray,
+                     subset: str = "ee") -> jnp.ndarray:
+    """(T, 22, 3) SMPL joints -> (T, |subset|) errors."""
+    inds = np.asarray(EE_SUBSET if subset == "ee" else LEGS_SUBSET)
+    return jnp.linalg.norm(pred[:, inds] - gt[:, inds], axis=-1)
+
+
+def visibility_split(pred: jnp.ndarray, gt: jnp.ndarray,
+                     obs: jnp.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Split per-point errors into (visible, occluded) 1-d arrays by the
+    inf sentinel in obs (T, N, 3)."""
+    err = np.asarray(positional_errors(pred, gt))
+    vis = ~np.isinf(np.asarray(obs[..., 0]))
+    return err[vis], err[~vis]
+
+
+def joint_accel_mag(joints: jnp.ndarray, h: float = DATA_H) -> jnp.ndarray:
+    """(T, J, 3) -> (T-2, J) acceleration magnitudes."""
+    accel = (joints[:-2] - 2.0 * joints[1:-1] + joints[2:]) / (h * h)
+    return jnp.linalg.norm(accel, axis=-1)
+
+
+def toe_floor_penetration(joints: jnp.ndarray,
+                          floor_plane: Optional[jnp.ndarray] = None,
+                          thresh_list=GRND_PEN_THRESH_LIST
+                          ) -> Tuple[List[int], int, np.ndarray]:
+    """(T, 22, 3) joints -> (pen counts per threshold, total toe-frames,
+    penetration distances at threshold 0)."""
+    if floor_plane is None:
+        floor_plane = jnp.asarray([0.0, 0.0, 1.0, 0.0])
+    toes = joints[:, np.asarray([_J["leftToeBase"], _J["rightToeBase"]])]
+    toes = toes.reshape(-1, 3)
+    normal = floor_plane[:3] / jnp.linalg.norm(floor_plane[:3])
+    plane = jnp.broadcast_to(floor_plane, (toes.shape[0], 4))
+    _, s = compute_plane_intersection(
+        toes, jnp.broadcast_to(-normal, toes.shape), plane)
+    s = np.asarray(s)
+    counts = [int((s < -t).sum()) for t in thresh_list]
+    pen_dist = -s[s < 0]
+    return counts, int(s.shape[0]), pen_dist
+
+
+def contact_accuracy(pred_contacts: np.ndarray, gt_contacts: np.ndarray
+                     ) -> Tuple[int, int]:
+    """Binary contact agreement over the 9 prior joints -> (correct, total)."""
+    p = np.asarray(pred_contacts)[:, np.asarray(C.CONTACT_INDS)]
+    g = np.asarray(gt_contacts)[:, np.asarray(C.CONTACT_INDS)]
+    return int(((p - g) == 0).sum()), int(p.size)
+
+
+def align_to_root(joints: jnp.ndarray, root_idx: int = 0) -> jnp.ndarray:
+    """Root-align a joint sequence (T, J, 3) by subtracting the root."""
+    return joints - joints[:, root_idx:root_idx + 1]
+
+
+def quant_eval_3d(pred: Dict[str, jnp.ndarray],
+                  gt: Dict[str, jnp.ndarray],
+                  obs: Dict[str, jnp.ndarray]) -> Dict[str, np.ndarray]:
+    """One sequence's 3D eval (reference quant_eval_3d :71-134): per-point
+    errors for joints3d/verts3d/mesh3d (+ee/legs, vis/occ splits), accel,
+    ground penetration, contact accuracy. Returns raw per-point arrays for
+    host-side aggregation."""
+    out: Dict[str, np.ndarray] = {}
+    for modality in ("joints3d", "verts3d", "mesh3d"):
+        if modality not in pred or modality not in gt:
+            continue
+        out[f"{modality}_all"] = np.asarray(
+            positional_errors(pred[modality], gt[modality])).reshape(-1)
+        if modality == "joints3d":
+            out["joints3d_ee"] = np.asarray(
+                subset_joint_err(pred[modality], gt[modality], "ee")
+            ).reshape(-1)
+            out["joints3d_legs"] = np.asarray(
+                subset_joint_err(pred[modality], gt[modality], "legs")
+            ).reshape(-1)
+        if modality in obs:
+            vis, occ = visibility_split(pred[modality], gt[modality],
+                                        obs[modality])
+            out[f"{modality}_vis"] = vis
+            out[f"{modality}_occ"] = occ
+
+    out["accel_mag"] = np.asarray(
+        joint_accel_mag(pred["joints3d"])).reshape(-1)
+
+    counts, total, pen_dist = toe_floor_penetration(pred["joints3d"])
+    out["ground_pen_dist"] = pen_dist
+    for t, c in zip(GRND_PEN_THRESH_LIST, counts):
+        key = f"ground_pen@{t:.2f}"
+        out[key] = np.asarray([c])
+        out[key + "_cnt"] = np.asarray([total])
+
+    if "contacts" in pred and "contacts" in gt:
+        correct, total_c = contact_accuracy(pred["contacts"],
+                                            gt["contacts"])
+        out["contact_acc"] = np.asarray([correct])
+        out["contact_acc_cnt"] = np.asarray([total_c])
+    return out
+
+
+def aggregate(per_seq: List[Dict[str, np.ndarray]]
+              ) -> Dict[str, Dict[str, float]]:
+    """Aggregate per-sequence metric arrays into mean/std/median/max/min
+    (the reference's CSV rows, eval_fitting_3d.py:453-491). Ratio metrics
+    (ground_pen@*, contact_acc) aggregate count/total."""
+    keys = sorted({k for d in per_seq for k in d
+                   if not k.endswith("_cnt")})
+    out: Dict[str, Dict[str, float]] = {}
+    for k in keys:
+        if k.startswith("ground_pen@") or k == "contact_acc":
+            num = sum(float(d[k][0]) for d in per_seq if k in d)
+            den = sum(float(d[k + "_cnt"][0]) for d in per_seq if k in d)
+            out[k] = {"frac": num / max(den, 1.0)}
+            continue
+        vals = np.concatenate([d[k] for d in per_seq if k in d and
+                               d[k].size > 0]) if any(
+            k in d and d[k].size for d in per_seq) else np.zeros(0)
+        if vals.size == 0:
+            out[k] = {"mean": 0.0, "std": 0.0, "median": 0.0,
+                      "max": 0.0, "min": 0.0}
+        else:
+            out[k] = {"mean": float(vals.mean()),
+                      "std": float(vals.std()),
+                      "median": float(np.median(vals)),
+                      "max": float(vals.max()),
+                      "min": float(vals.min())}
+    return out
+
+
+def write_csv(path: str, table: Dict[str, Dict[str, float]]) -> None:
+    """Write the aggregate table as CSV (metric, stat columns)."""
+    import csv
+
+    stats = sorted({s for v in table.values() for s in v})
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["metric"] + stats)
+        for k in sorted(table):
+            w.writerow([k] + [table[k].get(s, "") for s in stats])

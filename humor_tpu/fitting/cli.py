@@ -1,0 +1,166 @@
+"""Test-time-optimization CLI:
+`python -m humor_tpu.fitting.cli @configs/fit_amass_joints.cfg`.
+
+Behavioral parity target: /root/reference/humor/fitting/run_fitting.py
+(dataset construction by --data-type :69-193, model loading :232-261,
+batch loop with per-stage saves :269-435; the batch-size-3 duplication
+hack :286-318 is intentionally NOT replicated — it worked around a torch
+bug this stack does not have).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+
+def load_models(cfg):
+    """Assemble TTOModels from checkpoints, falling back to synthetic /
+    random models when assets are absent (keeps the CLI runnable in CI)."""
+    import jax
+
+    from humor_tpu.body_model import smpl as S
+    from humor_tpu.fitting.optimizer import TTOModels
+    from humor_tpu.models import gmm as G
+    from humor_tpu.models import humor as H
+    from humor_tpu.models import vposer as vp
+    from humor_tpu.utils import import_torch as IT
+
+    neutral = S.find_model_path(cfg.smplh_root, "neutral")
+    if os.path.exists(neutral):
+        body = S.load_smpl_npz(neutral, use_vtx_selector=True)
+    else:
+        print(f"[fit] no body model at {neutral!r}; using synthetic")
+        body = S.synthetic_smpl_model()
+
+    hcfg = H.HumorConfig()
+    if cfg.humor_ckpt and os.path.exists(cfg.humor_ckpt):
+        if cfg.humor_ckpt.endswith((".pth", ".pt")):
+            humor_params = IT.load_humor_checkpoint(cfg.humor_ckpt)
+        else:
+            from humor_tpu.utils.checkpoint import load_state
+            humor_params = load_state(cfg.humor_ckpt)["params"]
+    else:
+        print("[fit] no HuMoR checkpoint; using random init")
+        humor_params = H.init_params(hcfg, jax.random.PRNGKey(2))
+
+    vcfg = vp.VPoserConfig()
+    if cfg.vposer_ckpt and os.path.exists(cfg.vposer_ckpt):
+        vposer_params = IT.load_vposer_checkpoint(cfg.vposer_ckpt)
+    else:
+        print("[fit] no VPoser checkpoint; using random init")
+        vposer_params = vp.init_params(vcfg, jax.random.PRNGKey(1))
+
+    gmm = None
+    if (cfg.init_motion_prior_ckpt
+            and os.path.exists(cfg.init_motion_prior_ckpt)):
+        gmm = G.load_npz(cfg.init_motion_prior_ckpt)
+
+    return TTOModels(body=body, vposer_cfg=vcfg, vposer=vposer_params,
+                     humor_cfg=hcfg, humor=humor_params, init_gmm=gmm)
+
+
+def main(argv=None) -> Dict:
+    import jax
+    import jax.numpy as jnp
+
+    from humor_tpu.data.fit_dataset import FitObsConfig, amass_fit_batches
+    from humor_tpu.eval import metrics as M
+    from humor_tpu.fitting import energies as E
+    from humor_tpu.fitting import optimizer as O
+    from humor_tpu.fitting import results as R
+    from humor_tpu.fitting.optimizer import smpl_results
+    from humor_tpu.train.cli import build_dataset
+    from humor_tpu.utils.config import FitCLIConfig, parse_into
+
+    cfg = parse_into(FitCLIConfig, argv, prog="humor-fit")
+    os.makedirs(cfg.out, exist_ok=True)
+    models = load_models(cfg)
+
+    if cfg.data_type != "AMASS":
+        raise NotImplementedError(
+            f"data type {cfg.data_type!r} requires the RGB/PROX/iMapper "
+            "observation loaders (humor_tpu.data.rgb)")
+
+    weights = cfg.stage_weights()
+    if all(w.joints3d == 0 for w in weights):
+        # sensible defaults for AMASS 3D joint fitting
+        weights = (
+            E.StageWeights(joints3d=1.0),
+            E.StageWeights(joints3d=1.0, pose_prior=4e-4, shape_prior=6e-3,
+                           joints3d_smooth=1.0),
+            E.StageWeights(joints3d=1.0, pose_prior=4e-4, shape_prior=6e-3,
+                           motion_prior=7.5e-4, init_motion_prior=7.5e-4,
+                           joint_consistency=100.0, bone_length=2000.0),
+        )
+
+    tto_cfg = O.TTOConfig(
+        seq_len=cfg.seq_len,
+        stage_weights=weights,
+        energy=E.EnergyConfig(robust_loss=cfg.robust_loss,
+                              robust_tuning_const=cfg.robust_tuning_const,
+                              joints2d_sigma=cfg.joint2d_sigma),
+        num_iters=tuple(int(n) for n in cfg.num_iters),
+        lbfgs_max_linesearch=cfg.lbfgs_max_iter,
+        stage3_tune_init_state=not cfg.stage3_no_tune_init_state,
+        stage3_tune_init_num_frames=cfg.stage3_tune_init_num_frames,
+        stage3_freeze_start=cfg.stage3_freeze_start,
+        stage3_freeze_end=cfg.stage3_freeze_end,
+        stage3_contact_refine_only=cfg.stage3_contact_refine_only)
+    runner = O.make_runner(tto_cfg, models)
+
+    obs_cfg = FitObsConfig(
+        seq_len=cfg.seq_len, use_joints=cfg.amass_use_joints,
+        use_verts=cfg.amass_use_verts, use_points=cfg.amass_use_points,
+        noise_std=cfg.amass_noise_std, make_partial=cfg.amass_make_partial,
+        partial_height=cfg.amass_partial_height)
+    dataset = build_dataset(cfg, None)
+
+    all_metrics = []
+    for bidx, (observed, gt, meta) in enumerate(
+            amass_fit_batches(dataset, obs_cfg, cfg.batch_size, cfg.seed)):
+        t0 = time.time()
+        obs_jax = {k: jnp.asarray(v) for k, v in observed.items()}
+        res = runner(obs_jax)
+        jax.block_until_ready(res.final["trans"])
+        dt = time.time() - t0
+        names = [f"batch{bidx:03d}_seq{i:03d}"
+                 for i in range(cfg.batch_size)]
+        if cfg.save_results:
+            R.save_stage_results(cfg.out, "final", res.final, names)
+            R.save_observations(cfg.out, observed, gt, names)
+            if cfg.save_stages_results:
+                for sname, sres in res.per_stage.items():
+                    R.save_stage_results(cfg.out, sname, sres, names)
+
+        # quant eval vs GT
+        pred = smpl_results(models.body, res.final["trans"],
+                            res.final["root_orient"],
+                            res.final["pose_body"], res.final["betas"])
+        for b in range(cfg.batch_size):
+            m = M.quant_eval_3d(
+                {"joints3d": pred["joints3d"][b]},
+                {"joints3d": jnp.asarray(gt["joints3d"][b])},
+                {"joints3d": obs_jax.get("joints3d", jnp.full((1, 1, 3),
+                                                              np.inf))[b]
+                 if "joints3d" in obs_jax else jnp.full((1, 1, 3), np.inf)})
+            all_metrics.append(m)
+        mpjpe = float(np.concatenate(
+            [m["joints3d_all"] for m in all_metrics[-cfg.batch_size:]]
+        ).mean())
+        print(f"[fit] batch {bidx}: {dt:.1f}s  MPJPE {mpjpe*1000:.1f}mm")
+
+    table = M.aggregate(all_metrics)
+    M.write_csv(os.path.join(cfg.out, "eval_mean.csv"), table)
+    print(f"[fit] wrote {os.path.join(cfg.out, 'eval_mean.csv')}")
+    return table
+
+
+if __name__ == "__main__":
+    from humor_tpu.utils.platform import setup_platform
+
+    setup_platform()
+    main()

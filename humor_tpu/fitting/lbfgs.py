@@ -72,9 +72,17 @@ def run_lbfgs(
     vg = jax.value_and_grad(value_fn)
 
     def step(carry, _):
-        params, opt_state = carry
+        params, opt_state, best_params, best_val = carry
         value, grads = vg(params, *args)
         grads = _masked(grads, mask)
+        # best-iterate tracking: a failed zoom line search may accept an
+        # ascent step on hard landscapes; the returned params are always
+        # the best point actually evaluated
+        better = jnp.isfinite(value) & (value < best_val)
+        best_params = jax.tree_util.tree_map(
+            lambda b, p: jnp.where(better, p, b), best_params, params)
+        best_val = jnp.where(better, value, best_val)
+
         updates, opt_state = opt.update(
             grads, opt_state, params,
             value=value, grad=grads,
@@ -87,11 +95,19 @@ def run_lbfgs(
             optax.global_norm(updates)) & jnp.isfinite(value)
         new_params = jax.tree_util.tree_map(
             lambda n, o: jnp.where(ok, n, o), new_params, params)
-        return (new_params, opt_state), value
+        return (new_params, opt_state, best_params, best_val), value
 
-    init_carry = (init_params, opt.init(init_params))
-    (params, _), losses = jax.lax.scan(step, init_carry, None,
-                                       length=num_iters)
+    init_carry = (init_params, opt.init(init_params), init_params,
+                  jnp.asarray(jnp.inf))
+    (params, _, best_params, best_val), losses = jax.lax.scan(
+        step, init_carry, None, length=num_iters)
+
+    # the scan's best-tracking lags one evaluation behind: fold in the
+    # final iterate too
+    final_val = value_fn(params, *args)
+    better = jnp.isfinite(final_val) & (final_val < best_val)
+    params = jax.tree_util.tree_map(
+        lambda b, p: jnp.where(better, p, b), best_params, params)
 
     if has_aux:
         final_loss, aux = loss_fn(params, *args)

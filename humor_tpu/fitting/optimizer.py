@@ -1,0 +1,658 @@
+"""3-stage test-time motion optimizer — the flagship TTO pipeline.
+
+Fits SMPL shape + motion to observations (3D joints/keypoints/point
+clouds, 2D joints) by optimizing in VPoser's pose latent space and HuMoR's
+motion latent space.
+
+Behavioral parity target: /root/reference/humor/fitting/motion_optimizer.py
+(MotionOptimizer.run :202-676, rollout_latent_motion :876-1019,
+infer_latent_motion :805-874, estimate_velocities :744-801).
+
+TPU-first design (the reference's host-driven L-BFGS closures are the #1
+perf sink, SURVEY.md §3.2):
+  * each stage is ONE jitted program: `run_lbfgs` scans L-BFGS iterations
+    on device, and the stage-3 closure's sequence rollout is the
+    `lax.scan` in humor_tpu.models.humor — zero host round trips within
+    a stage;
+  * the stage-3 freeze/refine sub-schedule (reference :479-511 swaps
+    optimizers and requires_grad flags) becomes three jitted segments of
+    the same variable pytree with gradient masks;
+  * the batch dimension (parallel sub-sequence windows) is fully
+    data-parallel and shards over TPU cores; overlap-consistency terms
+    couple neighbors inside the jitted loss.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from humor_tpu.body_model import constants as C
+from humor_tpu.body_model import smpl as smpl_lib
+from humor_tpu.fitting import energies as E
+from humor_tpu.fitting import geometry as geo
+from humor_tpu.fitting.lbfgs import run_lbfgs
+from humor_tpu.models import gmm as gmm_lib
+from humor_tpu.models import humor as H
+from humor_tpu.models import vposer as vp
+from humor_tpu.ops import transforms
+
+_HI = jax.lax.Precision.HIGHEST
+
+CONTACT_THRESH = 0.5
+
+
+@dataclass(frozen=True)
+class TTOConfig:
+    seq_len: int
+    num_betas: int = C.BETA_SIZE
+    stage_weights: Tuple[E.StageWeights, E.StageWeights, E.StageWeights] = (
+        E.StageWeights(joints3d=1.0),
+        E.StageWeights(joints3d=1.0, pose_prior=4e-4, shape_prior=6e-3,
+                       joints3d_smooth=1.0),
+        E.StageWeights(joints3d=1.0, pose_prior=4e-4, shape_prior=6e-3,
+                       motion_prior=7.5e-4, init_motion_prior=7.5e-4,
+                       joint_consistency=100.0, bone_length=2000.0),
+    )
+    energy: E.EnergyConfig = E.EnergyConfig()
+    num_iters: Tuple[int, int, int] = (30, 70, 70)
+    lbfgs_max_linesearch: int = 20
+    lbfgs_history: int = 10
+    data_fps: float = 30.0
+    optim_floor: bool = False
+    stage3_tune_init_state: bool = True
+    stage3_tune_init_num_frames: int = 15
+    stage3_freeze_start: int = 30
+    stage3_freeze_end: int = 50
+    stage3_contact_refine_only: bool = False
+
+
+class TTOModels(NamedTuple):
+    """All frozen model parameters the optimizer closes over."""
+    body: smpl_lib.SmplModel
+    vposer_cfg: vp.VPoserConfig
+    vposer: Dict
+    humor_cfg: H.HumorConfig
+    humor: Dict
+    init_gmm: Optional[gmm_lib.GmmParams] = None
+
+
+# ---------------------------------------------------------------------------
+# SMPL forward over a sequence batch
+# ---------------------------------------------------------------------------
+
+def smpl_results(body: smpl_lib.SmplModel,
+                 trans: jnp.ndarray,        # (B, T, 3)
+                 root_orient: jnp.ndarray,  # (B, T, 3) aa
+                 body_pose: jnp.ndarray,    # (B, T, 63) aa
+                 betas: jnp.ndarray,        # (B, nb)
+                 ) -> Dict[str, jnp.ndarray]:
+    """One batched LBS pass over all B*T frames -> typed prediction dict
+    (reference smpl_results, motion_optimizer.py:1065-1110)."""
+    B, T = trans.shape[:2]
+    out = smpl_lib.forward(
+        body,
+        root_orient.reshape(B * T, 3),
+        body_pose.reshape(B * T, -1),
+        jnp.repeat(betas, T, axis=0),
+        trans.reshape(B * T, 3),
+    )
+    Jtr = out.Jtr.reshape(B, T, -1, 3)
+    v = out.v.reshape(B, T, -1, 3)
+    nj = C.NUM_SMPL_JOINTS
+    keypt = np.asarray([i for i in C.KEYPT_VERTS if i < v.shape[2]],
+                       np.int32)
+    return {
+        "joints3d": Jtr[:, :, :nj],
+        "joints3d_extra": Jtr[:, :, nj:],
+        "points3d": v,
+        "verts3d": v[:, :, keypt],
+    }
+
+
+# ---------------------------------------------------------------------------
+# Velocity estimation (central differences)
+# ---------------------------------------------------------------------------
+
+def estimate_linear_velocity(seq: jnp.ndarray, h: float) -> jnp.ndarray:
+    """(B, T, ...) -> same-shape velocities: forward/central/backward
+    differences (reference :766-781)."""
+    init = (seq[:, 1:2] - seq[:, 0:1]) / h
+    mid = (seq[:, 2:] - seq[:, :-2]) / (2.0 * h)
+    last = (seq[:, -1:] - seq[:, -2:-1]) / h
+    return jnp.concatenate([init, mid, last], axis=1)
+
+
+def estimate_angular_velocity(rot_seq: jnp.ndarray, h: float) -> jnp.ndarray:
+    """(B, T, 3, 3) rotations -> (B, T, 3) angular velocities via
+    skew(dR/dt R^T) (reference :783-801)."""
+    dRdt = estimate_linear_velocity(rot_seq, h)
+    w_mat = jnp.matmul(dRdt, jnp.swapaxes(rot_seq, -1, -2), precision=_HI)
+    w_x = (-w_mat[..., 1, 2] + w_mat[..., 2, 1]) / 2.0
+    w_y = (w_mat[..., 0, 2] - w_mat[..., 2, 0]) / 2.0
+    w_z = (-w_mat[..., 0, 1] + w_mat[..., 1, 0]) / 2.0
+    return jnp.stack([w_x, w_y, w_z], axis=-1)
+
+
+def estimate_velocities(body: smpl_lib.SmplModel, trans, root_orient,
+                        body_pose, betas, fps: float):
+    """(trans_vel, joints_vel, root_orient_vel) from an SMPL sequence."""
+    h = 1.0 / fps
+    pred = smpl_results(body, trans, root_orient, body_pose, betas)
+    trans_vel = estimate_linear_velocity(trans, h)
+    joints_vel = estimate_linear_velocity(pred["joints3d"], h)
+    R = transforms.aa_to_rotmat(root_orient)
+    root_orient_vel = estimate_angular_velocity(R, h)
+    return trans_vel, joints_vel, root_orient_vel
+
+
+# ---------------------------------------------------------------------------
+# HuMoR-space helpers
+# ---------------------------------------------------------------------------
+
+def _seq_state_dict(body, trans, root_orient, body_pose, betas, fps):
+    """SMPL sequence -> HuMoR global-state dict with matrix rotations
+    (components (B, T, D))."""
+    B, T = trans.shape[:2]
+    pred = smpl_results(body, trans, root_orient, body_pose, betas)
+    trans_vel, joints_vel, root_orient_vel = _vel_from_results(
+        trans, root_orient, pred["joints3d"], fps)
+    return {
+        "trans": trans,
+        "trans_vel": trans_vel,
+        "root_orient": transforms.aa_to_rotmat(root_orient).reshape(B, T, 9),
+        "root_orient_vel": root_orient_vel,
+        "pose_body": transforms.aa_to_rotmat(
+            body_pose.reshape(B, T, -1, 3)).reshape(B, T, -1),
+        "joints": pred["joints3d"].reshape(B, T, -1),
+        "joints_vel": joints_vel.reshape(B, T, -1),
+    }
+
+
+def _vel_from_results(trans, root_orient, joints3d, fps):
+    h = 1.0 / fps
+    trans_vel = estimate_linear_velocity(trans, h)
+    joints_vel = estimate_linear_velocity(joints3d, h)
+    R = transforms.aa_to_rotmat(root_orient)
+    root_orient_vel = estimate_angular_velocity(R, h)
+    return trans_vel, joints_vel, root_orient_vel
+
+
+def infer_latent_motion(models: TTOModels, trans, root_orient, body_pose,
+                        betas, fps) -> jnp.ndarray:
+    """Posterior-mean latent sequence z_{1..T-1} for the current SMPL
+    trajectory (reference infer_latent_motion :805-874)."""
+    seq = _seq_state_dict(models.body, trans, root_orient, body_pose,
+                          betas, fps)
+    res = H.infer_global_seq(models.humor_cfg, models.humor, seq)
+    return res.posterior[0]
+
+
+def _expand_contacts(contact_logits: jnp.ndarray) -> Tuple[jnp.ndarray,
+                                                           jnp.ndarray]:
+    """(B, Tm1, 9) logits -> full-body (B, T, 22) conf + binary contacts,
+    first frame repeated (reference :985-1005)."""
+    conf9 = jax.nn.sigmoid(contact_logits)
+    B, Tm1 = conf9.shape[:2]
+    full = jnp.zeros((B, Tm1, C.NUM_SMPL_JOINTS), conf9.dtype)
+    full = full.at[:, :, np.asarray(C.CONTACT_INDS)].set(conf9)
+    conf = jnp.concatenate([full[:, 0:1], full], axis=1)
+    binary = (conf > CONTACT_THRESH).astype(conf9.dtype)
+    return conf, binary
+
+
+def rollout_latent_motion(cfg: TTOConfig, models: TTOModels,
+                          variables: Dict[str, jnp.ndarray],
+                          latent_motion: jnp.ndarray,
+                          cam2prior: Optional[Tuple] = None,
+                          ) -> Tuple[Dict, Dict]:
+    """Roll the initial-state variables forward through HuMoR with the
+    latent motion sequence (reference rollout_latent_motion :876-1019).
+
+    variables: trans/root_orient/latent_pose are (B, 1, .) initial state;
+    betas (B, nb); *_vel (B, 1, .) prior-frame velocities.
+    Returns (prior-frame dict, camera-frame dict); identical when
+    cam2prior is None.
+    """
+    B = variables["trans"].shape[0]
+    Tm1 = latent_motion.shape[1]
+    body_pose0 = vp.latent2pose(models.vposer_cfg, models.vposer,
+                                variables["latent_pose"])  # (B, 1, 63)
+    cam_trans0, cam_root0 = variables["trans"], variables["root_orient"]
+    trans0, root0 = cam_trans0, cam_root0
+    if cam2prior is not None:
+        R, t, rh = cam2prior
+        prior = geo.apply_cam2prior(
+            cam_trans0, cam_root0, R, t, rh,
+            jnp.zeros((B,), jnp.int32),
+            smpl_root_joint_fn=lambda tr, ro: smpl_results(
+                models.body, tr, ro, body_pose0,
+                variables["betas"])["joints3d"][..., 0, 2])
+        trans0, root0 = prior["trans"], prior["root_orient"]
+
+    pred0 = smpl_results(models.body, trans0, root0, body_pose0,
+                         variables["betas"])
+    joints0 = pred0["joints3d"]  # (B, 1, 22, 3)
+
+    init_state = {
+        "trans": trans0[:, 0],
+        "trans_vel": variables["trans_vel"][:, 0],
+        "root_orient": transforms.aa_to_rotmat(root0[:, 0]).reshape(B, 9),
+        "root_orient_vel": variables["root_orient_vel"][:, 0],
+        "pose_body": transforms.aa_to_rotmat(
+            body_pose0[:, 0].reshape(B, -1, 3)).reshape(B, -1),
+        "joints": joints0[:, 0].reshape(B, -1),
+        "joints_vel": variables["joints_vel"][:, 0].reshape(B, -1),
+    }
+
+    roll = H.rollout(models.humor_cfg, models.humor,
+                     jax.random.PRNGKey(0), init_state, Tm1,
+                     z_seq=latent_motion)
+    w = roll.world
+
+    root_mats = w["root_orient"].reshape(B, Tm1, 3, 3)
+    pose_mats = w["pose_body"].reshape(B, Tm1, -1, 3, 3)
+    out = {
+        "trans": jnp.concatenate([trans0, w["trans"]], axis=1),
+        "root_orient": jnp.concatenate(
+            [root0, transforms.rotmat_to_aa(root_mats)], axis=1),
+        "pose_body": jnp.concatenate(
+            [body_pose0,
+             transforms.rotmat_to_aa(pose_mats).reshape(B, Tm1, -1)],
+            axis=1),
+        "joints": jnp.concatenate(
+            [joints0, w["joints"].reshape(B, Tm1, -1, 3)], axis=1),
+        "cond_prior": roll.prior,
+    }
+    if "contacts" in w:
+        conf, binary = _expand_contacts(w["contacts"])
+        out["contacts_conf"] = conf
+        out["contacts"] = binary
+
+    if cam2prior is not None:
+        R, t, rh = cam2prior
+        cam = geo.apply_cam2prior(out["trans"], out["root_orient"], R, t,
+                                  rh, jnp.zeros((B,), jnp.int32),
+                                  inverse=True)
+    else:
+        cam = {"trans": out["trans"], "root_orient": out["root_orient"]}
+    cam["pose_body"] = out["pose_body"]
+    return out, cam
+
+
+# ---------------------------------------------------------------------------
+# Initialization
+# ---------------------------------------------------------------------------
+
+def init_variables(cfg: TTOConfig, models: TTOModels, batch_size: int,
+                   observed: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    """Stage-1/2 variable pytree (reference __init__ :75-90 +
+    initialize :141-199)."""
+    B, T = batch_size, cfg.seq_len
+    trans = jnp.zeros((B, T, 3))
+    root_orient = jnp.zeros((B, T, 3)).at[..., 0].set(jnp.pi)
+    variables = {
+        "trans": trans,
+        "root_orient": root_orient,
+        "latent_pose": jnp.zeros((B, T, models.vposer_cfg.latent_dim)),
+        "betas": jnp.zeros((B, cfg.num_betas)),
+    }
+    if cfg.optim_floor and "floor_plane" in observed:
+        fp = observed["floor_plane"]
+        variables["floor_plane"] = fp[..., :3] * fp[..., 3:]
+    if "points3d" in observed:
+        pts = observed["points3d"]
+        safe = jnp.where(E.visible_mask(pts), pts, 0.0)
+        cnt = jnp.maximum(
+            jnp.sum(E.visible_mask(pts[..., 0]), axis=2, keepdims=True), 1)
+        variables["trans"] = jnp.sum(safe, axis=2) / cnt
+    elif "joints2d" in observed and "cam_f" in observed:
+        variables["trans"] = _init_z_from_bones(cfg, models, variables,
+                                                observed)
+    return variables
+
+
+def _init_z_from_bones(cfg, models, variables, observed) -> jnp.ndarray:
+    """Depth init from 3D/2D mean bone-length ratio (reference :160-199,
+    PROX heuristic)."""
+    B, T = variables["trans"].shape[:2]
+    body_pose = vp.latent2pose(models.vposer_cfg, models.vposer,
+                               variables["latent_pose"])
+    pred = smpl_results(models.body, variables["trans"],
+                        variables["root_orient"], body_pose,
+                        variables["betas"])
+    full = jnp.concatenate([pred["joints3d"], pred["joints3d_extra"]],
+                           axis=2)
+    op_j3d = full[:, :, np.asarray(cfg.energy.smpl2op_map)]
+    obs2d = observed["joints2d"][..., :2]
+    conf2d = observed["joints2d"][..., 2]
+
+    num_vis = jnp.sum(conf2d > 0.0, axis=2)       # (B, T)
+    best_t = jnp.argmax(num_vis, axis=1)          # (B,)
+
+    edges = np.asarray(C.OP_EDGE_LIST)            # (E, 2)
+    b3d = jnp.linalg.norm(
+        op_j3d[:, 0, edges[:, 0]] - op_j3d[:, 0, edges[:, 1]], axis=-1)
+    b2d = jnp.linalg.norm(
+        obs2d[:, :, edges[:, 0]] - obs2d[:, :, edges[:, 1]], axis=-1)
+    c2d = jnp.minimum(conf2d[:, :, edges[:, 0]], conf2d[:, :, edges[:, 1]])
+    b2d_best = jnp.take_along_axis(
+        b2d, best_t[:, None, None], axis=1)[:, 0]
+    c2d_best = jnp.take_along_axis(
+        c2d, best_t[:, None, None], axis=1)[:, 0]
+    mean_b3d = jnp.mean(b3d, axis=1)
+    mean_b2d = jnp.mean(b2d_best * (c2d_best > 0.0), axis=1)
+    init_z = observed["cam_f"][:, 0] * (mean_b3d
+                                        / jnp.maximum(mean_b2d, 1e-6))
+    return variables["trans"].at[..., 2].set(init_z[:, None])
+
+
+# ---------------------------------------------------------------------------
+# The 3-stage driver
+# ---------------------------------------------------------------------------
+
+class TTOResult(NamedTuple):
+    final: Dict[str, jnp.ndarray]          # optimized SMPL sequence (cam)
+    per_stage: Dict[str, Dict]             # stage1/stage2/stage3 outputs
+    losses: Dict[str, jnp.ndarray]         # per-stage loss histories
+
+
+def _stage12_pred(models, variables):
+    body_pose = vp.latent2pose(models.vposer_cfg, models.vposer,
+                               variables["latent_pose"])
+    pred = smpl_results(models.body, variables["trans"],
+                        variables["root_orient"], body_pose,
+                        variables["betas"])
+    pred["latent_pose"] = variables["latent_pose"]
+    pred["betas"] = variables["betas"]
+    return pred, body_pose
+
+
+def make_runner(cfg: TTOConfig, models: TTOModels, mesh=None):
+    """Build a reusable TTO runner: every stage program is jitted ONCE and
+    reused across observation batches (the reference rebuilds optimizers
+    and re-traces closures per batch; here consecutive video windows hit
+    the compile cache). Returns `run(observed) -> TTOResult`.
+
+    The observation dict's key set is static per runner (it selects which
+    energies exist in the compiled graphs); values are traced arguments.
+
+    With `mesh` (a 1-D 'dp' jax Mesh), the window batch dimension shards
+    across devices over ICI: parallel sub-sequences optimize on separate
+    chips and the overlap-consistency terms (which index across the batch
+    axis) lower to XLA collective-permutes — the TPU-native replacement
+    for the reference's sequential window chaining (SURVEY.md §2.9).
+    """
+    T = cfg.seq_len
+    w1, w2, w3 = cfg.stage_weights
+
+    def _lbfgs(loss_fn, vars_, iters, observed, mask=None):
+        return run_lbfgs(loss_fn, vars_, iters, observed, mask=mask,
+                         history_size=cfg.lbfgs_history,
+                         max_linesearch_steps=cfg.lbfgs_max_linesearch)
+
+    # ---- stage 1/2 losses
+    def stage1_loss(v, observed):
+        pred, _ = _stage12_pred(models, v)
+        loss, _ = E.root_fit(cfg.energy, w1, observed, pred)
+        return loss
+
+    def stage2_loss(v, observed):
+        pred, _ = _stage12_pred(models, v)
+        loss, _ = E.smpl_fit(cfg.energy, w2, observed, pred, T)
+        return loss
+
+    def _cam2prior_of(v):
+        if not cfg.optim_floor:
+            return None
+        bp0 = vp.latent2pose(models.vposer_cfg, models.vposer,
+                             v["latent_pose"])
+        cam_smpl = smpl_results(models.body, v["trans"], v["root_orient"],
+                                bp0, v["betas"])
+        return geo.compute_cam2prior(
+            v["floor_plane"], v["trans"][:, 0], v["root_orient"][:, 0],
+            cam_smpl["joints3d"][:, 0])
+
+    def stage3_loss_fn(weights: E.StageWeights, nsteps: int,
+                       init_motion_scale: float):
+        """Stage-3 objective over the first `nsteps` frames (static)."""
+        def loss(v, observed):
+            c2p = _cam2prior_of(v)
+            zm = v["latent_motion"][:, : nsteps - 1]
+            prior_out, cam_out = rollout_latent_motion(
+                cfg, models, v, zm, cam2prior=c2p)
+            pred = smpl_results(models.body, prior_out["trans"],
+                                prior_out["root_orient"],
+                                prior_out["pose_body"], v["betas"])
+            pred["latent_pose"] = vp.pose2latent(
+                models.vposer_cfg, models.vposer, prior_out["pose_body"])
+            pred["betas"] = v["betas"]
+            pred["latent_motion"] = zm
+            pred["joints_vel"] = v["joints_vel"]
+            pred["trans_vel"] = v["trans_vel"]
+            pred["root_orient_vel"] = v["root_orient_vel"]
+            pred["joints3d_rollout"] = prior_out["joints"]
+            if "contacts_conf" in prior_out:
+                pred["contacts_conf"] = prior_out["contacts_conf"]
+
+            if cfg.optim_floor:
+                cam_pred = smpl_results(models.body, cam_out["trans"],
+                                        cam_out["root_orient"],
+                                        cam_out["pose_body"], v["betas"])
+                cam_pred["latent_pose"] = pred["latent_pose"]
+                cam_pred["betas"] = v["betas"]
+                cam_pred["floor_plane"] = v["floor_plane"]
+            else:
+                cam_pred = pred
+
+            obs = {k: (val[:, :nsteps]
+                       if (hasattr(val, "ndim") and val.ndim >= 2
+                           and val.shape[1] == T
+                           and k not in ("cam_f", "cam_center",
+                                         "seq_interval"))
+                       else val)
+                   for k, val in observed.items()
+                   if k != "prev_batch_overlap_res"}
+            if "prev_batch_overlap_res" in observed:
+                obs["prev_batch_overlap_res"] = \
+                    observed["prev_batch_overlap_res"]
+
+            cond = (prior_out["cond_prior"]
+                    if models.humor_cfg.conditional_prior else None)
+            total, _ = E.motion_fit(
+                cfg.energy, weights, obs, pred, cam_pred, nsteps,
+                gmm=models.init_gmm, cond_prior=cond,
+                init_motion_scale=init_motion_scale)
+            return total
+        return loss
+
+    n_init = min(cfg.stage3_tune_init_num_frames, T)
+    scale = float(T) / n_init
+    iters = cfg.num_iters[2]
+    f0 = min(cfg.stage3_freeze_start, iters)
+    f1 = min(cfg.stage3_freeze_end, iters)
+    freeze_keys = ("trans", "root_orient", "latent_pose", "trans_vel",
+                   "joints_vel", "root_orient_vel")
+
+    # ---- jitted stage programs (masks are static per program)
+    def _mask_for(vars_, trainable):
+        return {k: jnp.asarray(1.0 if trainable(k) else 0.0)
+                for k in vars_}
+
+    @jax.jit
+    def stage1_step(vars_, observed):
+        mask = _mask_for(vars_, lambda k: k in ("trans", "root_orient"))
+        return _lbfgs(stage1_loss, vars_, cfg.num_iters[0], observed,
+                      mask=mask)
+
+    @jax.jit
+    def stage2_step(vars_, observed):
+        mask = _mask_for(vars_, lambda k: k != "floor_plane")
+        return _lbfgs(stage2_loss, vars_, cfg.num_iters[1], observed,
+                      mask=mask)
+
+    @jax.jit
+    def stage3_setup(vars_, observed):
+        """cam2prior + latent-motion inference + velocity estimation +
+        variable shrink, all in one program (reference :337-404)."""
+        B = vars_["trans"].shape[0]
+        body_pose = vp.latent2pose(models.vposer_cfg, models.vposer,
+                                   vars_["latent_pose"])
+        vel_trans, vel_root = vars_["trans"], vars_["root_orient"]
+        if cfg.optim_floor:
+            c2p = _cam2prior_of(vars_)
+            R, t, rh = c2p
+            pr = geo.apply_cam2prior(
+                vel_trans, vel_root, R, t, rh,
+                jnp.zeros((B,), jnp.int32),
+                smpl_root_joint_fn=lambda tr, ro: smpl_results(
+                    models.body, tr, ro, body_pose,
+                    vars_["betas"])["joints3d"][..., 0, 2])
+            vel_trans, vel_root = pr["trans"], pr["root_orient"]
+
+        latent_motion = infer_latent_motion(
+            models, vel_trans, vel_root, body_pose, vars_["betas"],
+            cfg.data_fps)
+        trans_vel, joints_vel, root_orient_vel = estimate_velocities(
+            models.body, vel_trans, vel_root, body_pose, vars_["betas"],
+            cfg.data_fps)
+        s3 = {
+            "trans": vars_["trans"][:, :1],
+            "root_orient": vars_["root_orient"][:, :1],
+            "latent_pose": vars_["latent_pose"][:, :1],
+            "betas": vars_["betas"],
+            "latent_motion": latent_motion,
+            "trans_vel": trans_vel[:, :1],
+            "joints_vel": joints_vel[:, :1],
+            "root_orient_vel": root_orient_vel[:, :1],
+        }
+        if cfg.optim_floor:
+            s3["floor_plane"] = vars_["floor_plane"]
+        return s3
+
+    if cfg.stage3_tune_init_state:
+        wA = replace(w3, rgb_overlap_consist=0.0)
+        wB = (replace(w3, contact_vel=0.0, contact_height=0.0)
+              if cfg.stage3_contact_refine_only else w3)
+
+        @jax.jit
+        def stage3_phaseA(vars_, observed):
+            return _lbfgs(stage3_loss_fn(wA, n_init, 1.0), vars_, f0,
+                          observed, mask=_mask_for(vars_, lambda k: True))
+
+        @jax.jit
+        def stage3_phaseB(vars_, observed):
+            return _lbfgs(stage3_loss_fn(wB, T, scale), vars_, f1 - f0,
+                          observed,
+                          mask=_mask_for(vars_,
+                                         lambda k: k not in freeze_keys))
+
+        @jax.jit
+        def stage3_phaseC(vars_, observed):
+            return _lbfgs(stage3_loss_fn(w3, T, scale), vars_,
+                          iters - f1, observed,
+                          mask=_mask_for(vars_, lambda k: True))
+
+        stage3_phases = (stage3_phaseA, stage3_phaseB, stage3_phaseC)
+    else:
+        @jax.jit
+        def stage3_single(vars_, observed):
+            return _lbfgs(stage3_loss_fn(w3, T, 1.0), vars_, iters,
+                          observed, mask=_mask_for(vars_, lambda k: True))
+
+        stage3_phases = (stage3_single,)
+
+    @jax.jit
+    def final_rollout(vars_):
+        c2p = _cam2prior_of(vars_)
+        return rollout_latent_motion(cfg, models, vars_,
+                                     vars_["latent_motion"], cam2prior=c2p)
+
+    def _shard(tree, batch_axis=True):
+        if mesh is None:
+            return tree
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh = NamedSharding(mesh, P("dp") if batch_axis else P())
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sh)
+            if hasattr(x, "ndim") and x.ndim > 0 else x, tree)
+
+    def run(observed: Dict[str, jnp.ndarray]) -> TTOResult:
+        """Execute the 3 stages on one observation batch."""
+        B = observed[next(iter(observed))].shape[0]
+        if mesh is not None:
+            # window batch shards over devices; cross-batch carries are
+            # replicated (they have no batch dim)
+            sharded = {}
+            for k, v in observed.items():
+                sharded[k] = _shard(v, batch_axis=(
+                    k != "prev_batch_overlap_res"))
+            observed = sharded
+        variables = _shard(init_variables(cfg, models, B, observed))
+        per_stage: Dict[str, Dict] = {}
+        losses: Dict[str, jnp.ndarray] = {}
+
+        res1 = stage1_step(variables, observed)
+        variables = res1.params
+        losses["stage1"] = res1.loss_history
+        per_stage["stage1"] = _export_stage(variables, models)
+
+        res2 = stage2_step(variables, observed)
+        variables = res2.params
+        losses["stage2"] = res2.loss_history
+        per_stage["stage2"] = _export_stage(variables, models)
+
+        s3_vars = stage3_setup(variables, observed)
+        s3_losses = []
+        for phase in stage3_phases:
+            res = phase(s3_vars, observed)
+            s3_vars = res.params
+            s3_losses.append(res.loss_history)
+        losses["stage3"] = jnp.concatenate(s3_losses)
+
+        prior_out, cam_out = final_rollout(s3_vars)
+        final = {
+            "trans": cam_out["trans"],
+            "root_orient": cam_out["root_orient"],
+            "pose_body": cam_out["pose_body"],
+            "betas": s3_vars["betas"],
+            "latent_motion": s3_vars["latent_motion"],
+            "latent_pose": vp.pose2latent(
+                models.vposer_cfg, models.vposer, cam_out["pose_body"]),
+            "prior_trans": prior_out["trans"],
+            "prior_root_orient": prior_out["root_orient"],
+            "joints3d_rollout": prior_out["joints"],
+        }
+        if "contacts" in prior_out:
+            final["contacts"] = prior_out["contacts"]
+        if cfg.optim_floor:
+            final["floor_plane"] = geo.parse_floor_plane(
+                s3_vars["floor_plane"])
+        per_stage["stage3"] = {k: final[k] for k in
+                               ("trans", "root_orient", "pose_body",
+                                "betas")}
+        return TTOResult(final=final, per_stage=per_stage, losses=losses)
+
+    return run
+
+
+def run(cfg: TTOConfig, models: TTOModels,
+        observed: Dict[str, jnp.ndarray]) -> TTOResult:
+    """One-shot convenience wrapper around make_runner."""
+    return make_runner(cfg, models)(observed)
+
+
+def _export_stage(variables, models):
+    body_pose = vp.latent2pose(models.vposer_cfg, models.vposer,
+                               variables["latent_pose"])
+    return {
+        "trans": variables["trans"],
+        "root_orient": variables["root_orient"],
+        "pose_body": body_pose,
+        "betas": variables["betas"],
+    }

@@ -1,0 +1,154 @@
+"""Training CLI: `python -m humor_tpu.train.cli @configs/train_humor.cfg`.
+
+Behavioral parity target: /root/reference/humor/train/train_humor.py
+(dynamic class loading replaced by typed configs; same curriculum,
+checkpointing, and logging behavior via humor_tpu.train.trainer).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from typing import Dict, Optional
+
+import numpy as np
+
+
+def build_dataset(cfg, datasets, fallback_seed=0):
+    """Processed-npz dataset if data exists, else synthetic (so the CLI is
+    runnable without licensed AMASS data)."""
+    from humor_tpu.data.dataset import AmassDataset, find_processed_files
+
+    paths = find_processed_files(cfg.data_path, datasets or None)
+    if paths:
+        return AmassDataset.from_npz_files(paths)
+    from humor_tpu.body_model.smpl import synthetic_smpl_model
+    from humor_tpu.data import amass as A
+
+    print(f"[train] no processed data under {cfg.data_path!r}; "
+          "using synthetic sequences")
+    model = synthetic_smpl_model()
+    rng = np.random.RandomState(fallback_seed)
+    seqs = []
+    for i in range(8):
+        raw = {
+            "fps": np.asarray(60.0),
+            "gender": ["male", "female"][i % 2],
+            "trans": np.cumsum(rng.randn(400, 3) * 0.01, axis=0),
+            "root_orient": rng.randn(400, 3) * 0.2,
+            "pose_body": rng.randn(400, 63) * 0.1,
+            "betas": rng.randn(16) * 0.3,
+        }
+        seq = A.process_sequence(model, raw, discard_terrain=False)
+        if seq is not None:
+            seqs.append(seq)
+    return AmassDataset.from_processed(seqs)
+
+
+def load_body_models(smplh_root: str) -> Optional[Dict]:
+    """Gendered SMPL+H models if the licensed assets exist, else synthetic
+    stand-ins (tests / CI)."""
+    import jax
+
+    from humor_tpu.body_model import smpl as S
+
+    out = {}
+    for gender in ("male", "female"):
+        path = S.find_model_path(smplh_root, gender)
+        if os.path.exists(path):
+            out[gender] = S.load_smpl_npz(path)
+    if len(out) == 2:
+        return out
+    return {
+        "male": S.synthetic_smpl_model(jax.random.PRNGKey(10)),
+        "female": S.synthetic_smpl_model(jax.random.PRNGKey(20)),
+    }
+
+
+def make_batch_fn(dataset, cfg, window_frames: int, steps: int, seed: int):
+    """-> train_batches(epoch) generator factory: host gather + device
+    canonicalization per batch."""
+    import jax
+    import jax.numpy as jnp
+
+    from humor_tpu.data.windows import window_to_pairs
+
+    to_pairs = jax.jit(window_to_pairs)
+    keep = ("trans", "trans_vel", "root_orient", "root_orient_vel",
+            "pose_body", "joints", "joints_vel", "contacts")
+
+    def batches(epoch: int):
+        for i in range(steps):
+            s = seed + epoch * 100003 + i
+            world_np, meta = dataset.sample_windows(
+                s, cfg.batch_size, window_frames,
+                noise_std=cfg.data_noise_std)
+            world = {k: jnp.asarray(world_np[k]) for k in keep}
+            data_in, data_out, _ = to_pairs(world)
+            yield {
+                "data_in": data_in,
+                "data_out": data_out,
+                "betas": jnp.asarray(meta["betas"]),
+                "gender_ids": jnp.asarray(meta["gender_ids"] % 2),
+            }
+
+    return batches
+
+
+def main(argv=None) -> Dict[str, float]:
+    from humor_tpu.losses.elbo import LossConfig
+    from humor_tpu.models import humor as H
+    from humor_tpu.train.trainer import TrainRunConfig, Trainer
+    from humor_tpu.utils.config import TrainCLIConfig, parse_into
+
+    cfg = parse_into(TrainCLIConfig, argv, prog="humor-train")
+
+    model_cfg = H.HumorConfig(
+        latent_size=cfg.latent_size, in_rot_rep=cfg.in_rot_rep,
+        out_rot_rep=cfg.out_rot_rep,
+        model_data_config=cfg.model_data_config,
+        conditional_prior=cfg.conditional_prior,
+        output_delta=cfg.output_delta)
+    loss_cfg = LossConfig(
+        kl_loss=cfg.kl_loss,
+        kl_loss_anneal_start=cfg.kl_loss_anneal_start,
+        kl_loss_anneal_end=cfg.kl_loss_anneal_end,
+        contacts_loss=cfg.contacts_loss,
+        contacts_vel_loss=cfg.contacts_vel_loss,
+        smpl_joint_loss=cfg.smpl_joint_loss if cfg.use_smpl_losses else 0.0,
+        smpl_mesh_loss=cfg.smpl_mesh_loss if cfg.use_smpl_losses else 0.0,
+        smpl_joint_consistency_loss=(
+            cfg.smpl_joint_consistency_loss if cfg.use_smpl_losses else 0.0))
+    run_cfg = TrainRunConfig(
+        out_dir=cfg.out, epochs=cfg.epochs, lr=cfg.lr,
+        sched_milestones=tuple(cfg.sched_milestones),
+        sched_decays=tuple(cfg.sched_decays),
+        sched_samp_start=cfg.sched_samp_start,
+        sched_samp_end=cfg.sched_samp_end, val_every=cfg.val_every,
+        save_every=cfg.save_every, print_every=cfg.print_every,
+        resume_ckpt=cfg.ckpt or None, load_optim=not cfg.no_load_optim)
+
+    train_ds = build_dataset(cfg, cfg.train_datasets)
+    val_ds = (build_dataset(cfg, cfg.val_datasets, fallback_seed=1)
+              if cfg.val_datasets or True else None)
+    window = cfg.sample_num_frames + 1
+    smpl_models = load_body_models(cfg.smplh_root) \
+        if cfg.use_smpl_losses else None
+
+    trainer = Trainer(
+        model_cfg, loss_cfg, run_cfg,
+        train_batches=make_batch_fn(train_ds, cfg, window,
+                                    cfg.steps_per_epoch, cfg.seed),
+        val_batches=make_batch_fn(val_ds, cfg, window,
+                                  max(1, cfg.steps_per_epoch // 10),
+                                  cfg.seed + 7),
+        steps_per_epoch=cfg.steps_per_epoch,
+        smpl_models=smpl_models, seed=cfg.seed)
+    return trainer.fit()
+
+
+if __name__ == "__main__":
+    from humor_tpu.utils.platform import setup_platform
+
+    setup_platform()
+    main()

@@ -1,0 +1,238 @@
+"""Config / flag system: argparse with `@file.cfg` fromfile presets.
+
+Behavioral parity target: /root/reference/humor/utils/config.py
+(SplitLineParser :7-9 — one "--flag value" token pair per line;
+TrainConfig/TestConfig :114-167) and /root/reference/humor/fitting/
+config.py (flat fitting parser with NSTAGES-length weight lists :53-74).
+
+Design difference (TPU-first, simpler): configs are typed dataclasses
+populated from argparse; the reference's dynamic `<Name>Config` class
+loading becomes explicit dataclass fields. Preset `.cfg` files in
+humor_tpu/configs/ use the same one-token-per-line syntax so reference
+users can port their presets directly.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from dataclasses import dataclass, field, fields
+from typing import Any, List, Optional, Sequence, Tuple, Type, TypeVar
+
+T = TypeVar("T")
+
+NSTAGES = 3
+
+
+class SplitLineParser(argparse.ArgumentParser):
+    """fromfile parser: each line of an @file holds whitespace-separated
+    tokens (reference utils/config.py:7-9)."""
+
+    def __init__(self, *a, **kw):
+        kw.setdefault("fromfile_prefix_chars", "@")
+        super().__init__(*a, **kw)
+
+    def convert_arg_line_to_args(self, arg_line: str) -> List[str]:
+        line = arg_line.strip()
+        if not line or line.startswith("#"):
+            return []
+        return line.split()
+
+
+def _add_dataclass_args(parser: argparse.ArgumentParser, cls: Type,
+                        prefix: str = "") -> None:
+    for f in fields(cls):
+        name = f"--{prefix}{f.name.replace('_', '-')}"
+        if f.type in ("bool", bool):
+            default = (f.default if f.default is not dataclasses.MISSING
+                       else False)
+            group = parser.add_mutually_exclusive_group()
+            group.add_argument(name, dest=f.name, action="store_true",
+                               default=default)
+            group.add_argument(
+                f"--no-{prefix}{f.name.replace('_', '-')}",
+                dest=f.name, action="store_false")
+        elif (isinstance(f.default, (tuple, list))
+              or "Tuple" in str(f.type) or "List" in str(f.type)):
+            elem = float
+            if f.default is not dataclasses.MISSING and len(f.default):
+                elem = type(f.default[0])
+            parser.add_argument(name, dest=f.name, nargs="+", type=elem,
+                                default=(list(f.default)
+                                         if f.default is not dataclasses.MISSING
+                                         else None))
+        else:
+            typ = (type(f.default)
+                   if f.default is not dataclasses.MISSING
+                   and f.default is not None else str)
+            parser.add_argument(name, dest=f.name, type=typ,
+                                default=(f.default
+                                         if f.default is not dataclasses.MISSING
+                                         else None))
+
+
+def parse_into(cls: Type[T], argv: Optional[Sequence[str]] = None,
+               prog: Optional[str] = None) -> T:
+    """Parse argv (supporting @file.cfg) into a dataclass instance."""
+    parser = SplitLineParser(prog=prog, allow_abbrev=False)
+    _add_dataclass_args(parser, cls)
+    ns = parser.parse_args(argv)
+    kwargs = {}
+    for f in fields(cls):
+        v = getattr(ns, f.name)
+        if isinstance(f.default, tuple) and isinstance(v, list):
+            v = tuple(v)
+        kwargs[f.name] = v
+    return cls(**kwargs)
+
+
+# ---------------------------------------------------------------------------
+# Top-level run configs (reference TrainConfig/TestConfig + fitting config)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class TrainCLIConfig:
+    # data
+    data_path: str = "./data/amass_processed"
+    train_datasets: Tuple[str, ...] = ()
+    val_datasets: Tuple[str, ...] = ()
+    batch_size: int = 200
+    sample_num_frames: int = 10
+    data_noise_std: float = 0.0
+    # model
+    latent_size: int = 48
+    in_rot_rep: str = "mat"
+    out_rot_rep: str = "aa"
+    model_data_config: str = "smpl+joints+contacts"
+    conditional_prior: bool = True
+    output_delta: bool = True
+    # loss
+    kl_loss: float = 0.0004
+    kl_loss_anneal_start: int = 0
+    kl_loss_anneal_end: int = 50
+    contacts_loss: float = 0.01
+    contacts_vel_loss: float = 0.01
+    smpl_joint_loss: float = 1.0
+    smpl_mesh_loss: float = 1.0
+    smpl_joint_consistency_loss: float = 1.0
+    # optimization
+    out: str = "./out/humor_train"
+    epochs: int = 200
+    lr: float = 1e-4
+    sched_milestones: Tuple[int, ...] = (50, 80, 140)
+    sched_decays: Tuple[float, ...] = (0.5, 0.2, 0.4)
+    sched_samp_start: int = 10
+    sched_samp_end: int = 20
+    val_every: int = 2
+    save_every: int = 25
+    print_every: int = 10
+    ckpt: str = ""
+    no_load_optim: bool = False
+    steps_per_epoch: int = 200
+    seed: int = 0
+    # body model
+    smplh_root: str = "./body_models/smplh"
+    use_smpl_losses: bool = True
+
+
+@dataclass
+class TestCLIConfig:
+    data_path: str = "./data/amass_processed"
+    test_datasets: Tuple[str, ...] = ()
+    batch_size: int = 32
+    ckpt: str = ""
+    out: str = "./out/humor_test"
+    eval_test: bool = False
+    eval_sampling: bool = False
+    eval_recon: bool = False
+    eval_sampling_len: float = 10.0  # seconds
+    eval_num_samples: int = 1
+    seed: int = 0
+    smplh_root: str = "./body_models/smplh"
+
+
+@dataclass
+class FitCLIConfig:
+    # data
+    data_path: str = ""
+    data_type: str = "AMASS"  # AMASS | PROX-RGB | PROX-RGBD | iMapper-RGB | RGB
+    batch_size: int = 1
+    seq_len: int = 60
+    # observation modalities
+    amass_use_joints: bool = True
+    amass_use_verts: bool = False
+    amass_use_points: bool = False
+    amass_noise_std: float = 0.0
+    amass_make_partial: bool = False
+    amass_partial_height: float = 0.9
+    # models
+    humor_ckpt: str = ""
+    vposer_ckpt: str = ""
+    init_motion_prior_ckpt: str = ""
+    smplh_root: str = "./body_models/smplh"
+    gt_body_type: str = "smplh"
+    # optimization
+    lr: float = 1.0
+    num_iters: Tuple[int, ...] = (30, 80, 70)
+    lbfgs_max_iter: int = 20
+    stage3_tune_init_num_frames: int = 15
+    stage3_freeze_start: int = 30
+    stage3_freeze_end: int = 55
+    stage3_no_tune_init_state: bool = False
+    stage3_contact_refine_only: bool = False
+    # weights: one value per stage (reference fitting/config.py:60-74)
+    joint3d_weight: Tuple[float, ...] = (0.0, 0.0, 0.0)
+    joint3d_rollout_weight: Tuple[float, ...] = (0.0, 0.0, 0.0)
+    vert3d_weight: Tuple[float, ...] = (0.0, 0.0, 0.0)
+    point3d_weight: Tuple[float, ...] = (0.0, 0.0, 0.0)
+    joint2d_weight: Tuple[float, ...] = (0.0, 0.0, 0.0)
+    pose_prior_weight: Tuple[float, ...] = (0.0, 0.0, 0.0)
+    shape_prior_weight: Tuple[float, ...] = (0.0, 0.0, 0.0)
+    motion_prior_weight: Tuple[float, ...] = (0.0, 0.0, 0.0)
+    init_motion_prior_weight: Tuple[float, ...] = (0.0, 0.0, 0.0)
+    joint_consistency_weight: Tuple[float, ...] = (0.0, 0.0, 0.0)
+    bone_length_weight: Tuple[float, ...] = (0.0, 0.0, 0.0)
+    joint3d_smooth_weight: Tuple[float, ...] = (0.0, 0.0, 0.0)
+    contact_vel_weight: Tuple[float, ...] = (0.0, 0.0, 0.0)
+    contact_height_weight: Tuple[float, ...] = (0.0, 0.0, 0.0)
+    floor_reg_weight: Tuple[float, ...] = (0.0, 0.0, 0.0)
+    rgb_overlap_consist_weight: Tuple[float, ...] = (0.0, 0.0, 0.0)
+    # robustness
+    robust_loss: str = "none"
+    robust_tuning_const: float = 4.6851
+    joint2d_sigma: float = 100.0
+    # output
+    out: str = "./out/humor_fit"
+    save_results: bool = True
+    save_stages_results: bool = False
+    seed: int = 0
+
+    def stage_weights(self):
+        """-> 3 StageWeights from the per-stage weight lists."""
+        from humor_tpu.fitting.energies import StageWeights
+
+        def w(name, i):
+            vals = getattr(self, name)
+            return float(vals[i]) if i < len(vals) else 0.0
+
+        mapping = {
+            "joints3d": "joint3d_weight",
+            "joints3d_rollout": "joint3d_rollout_weight",
+            "verts3d": "vert3d_weight",
+            "points3d": "point3d_weight",
+            "joints2d": "joint2d_weight",
+            "pose_prior": "pose_prior_weight",
+            "shape_prior": "shape_prior_weight",
+            "motion_prior": "motion_prior_weight",
+            "init_motion_prior": "init_motion_prior_weight",
+            "joint_consistency": "joint_consistency_weight",
+            "bone_length": "bone_length_weight",
+            "joints3d_smooth": "joint3d_smooth_weight",
+            "contact_vel": "contact_vel_weight",
+            "contact_height": "contact_height_weight",
+            "floor_reg": "floor_reg_weight",
+            "rgb_overlap_consist": "rgb_overlap_consist_weight",
+        }
+        return tuple(
+            StageWeights(**{k: w(v, i) for k, v in mapping.items()})
+            for i in range(NSTAGES))

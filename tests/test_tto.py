@@ -1,0 +1,147 @@
+"""End-to-end test-time optimization on synthetic data: fit SMPL motion
+to 3D joint observations (the AMASS-fitting configuration, no camera or
+floor) and check every stage reduces its objective and the final fit is
+close to the observations.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from humor_tpu.body_model import constants as C
+from humor_tpu.body_model.smpl import synthetic_smpl_model
+from humor_tpu.fitting import energies as E
+from humor_tpu.fitting import optimizer as O
+from humor_tpu.models import gmm as gmm_lib
+from humor_tpu.models import humor as H
+from humor_tpu.models import vposer as vp
+
+
+B, T = 2, 8
+
+
+@pytest.fixture(scope="module")
+def models():
+    body = synthetic_smpl_model()
+    vcfg = vp.VPoserConfig(hidden=64)
+    hcfg = H.HumorConfig()
+    key = jax.random.PRNGKey(0)
+    gmm = gmm_lib.GmmParams(
+        weights=jnp.ones((2,)) / 2,
+        means=jax.random.normal(key, (2, 138)) * 0.1,
+        covs=jnp.broadcast_to(jnp.eye(138), (2, 138, 138)),
+    )
+    return O.TTOModels(
+        body=body,
+        vposer_cfg=vcfg,
+        vposer=vp.init_params(vcfg, jax.random.PRNGKey(1)),
+        humor_cfg=hcfg,
+        humor=H.init_params(hcfg, jax.random.PRNGKey(2)),
+        init_gmm=gmm,
+    )
+
+
+@pytest.fixture(scope="module")
+def observed(models):
+    # synthetic "GT": decode a random VPoser pose sequence + smooth root
+    rng = np.random.RandomState(0)
+    z = jnp.asarray(rng.randn(B, T, models.vposer_cfg.latent_dim) * 0.3,
+                    jnp.float32)
+    body_pose = vp.latent2pose(models.vposer_cfg, models.vposer, z)
+    t_lin = np.linspace(0, 0.5, T, dtype=np.float32)
+    trans = jnp.asarray(
+        rng.randn(B, 1, 3) * 0.2
+        + t_lin[None, :, None] * np.asarray([[1.0, 0.2, 0.0]]),
+        jnp.float32)
+    root_orient = jnp.asarray(
+        np.tile(rng.randn(B, 1, 3) * 0.2, (1, T, 1)), jnp.float32)
+    pred = O.smpl_results(models.body, trans, root_orient, body_pose,
+                          jnp.zeros((B, C.BETA_SIZE)))
+    return {"joints3d": pred["joints3d"]}
+
+
+@pytest.fixture(scope="module")
+def tto_cfg():
+    w1 = E.StageWeights(joints3d=1.0)
+    w2 = E.StageWeights(joints3d=1.0, pose_prior=4e-4, shape_prior=6e-3,
+                        joints3d_smooth=0.1)
+    w3 = E.StageWeights(joints3d=1.0, pose_prior=4e-4, shape_prior=6e-3,
+                        motion_prior=1e-4, init_motion_prior=1e-4,
+                        joint_consistency=10.0, bone_length=10.0,
+                        joints3d_rollout=0.1)
+    return O.TTOConfig(
+        seq_len=T,
+        stage_weights=(w1, w2, w3),
+        num_iters=(6, 8, 8),
+        stage3_tune_init_num_frames=5,
+        stage3_freeze_start=3,
+        stage3_freeze_end=5,
+    )
+
+
+@pytest.fixture(scope="module")
+def result(tto_cfg, models, observed):
+    return O.run(tto_cfg, models, observed)
+
+
+def test_stage_losses_decrease(result):
+    for stage in ("stage1", "stage2"):
+        hist = np.asarray(result.losses[stage])
+        assert np.all(np.isfinite(hist)), f"{stage} non-finite: {hist}"
+        assert hist[-1] < hist[0], f"{stage} did not improve: {hist}"
+    hist3 = np.asarray(result.losses["stage3"])
+    assert np.all(np.isfinite(hist3)), f"stage3 non-finite: {hist3}"
+
+
+def test_final_shapes(result):
+    f = result.final
+    assert f["trans"].shape == (B, T, 3)
+    assert f["root_orient"].shape == (B, T, 3)
+    assert f["pose_body"].shape == (B, T, C.NUM_BODY_JOINTS * 3)
+    assert f["betas"].shape == (B, C.BETA_SIZE)
+    assert f["latent_motion"].shape[1] == T - 1
+    assert f["contacts"].shape == (B, T, C.NUM_SMPL_JOINTS)
+    for k, v in f.items():
+        assert np.all(np.isfinite(np.asarray(v))), f"non-finite {k}"
+
+
+def test_stage1_improves_root_alignment(tto_cfg, models, observed):
+    """After stage 1 alone, predicted joints should be much closer to the
+    observations than at init."""
+    runner = O.make_runner(tto_cfg, models)
+    res = runner(observed)
+    s1 = res.per_stage["stage1"]
+    pred1 = O.smpl_results(models.body, s1["trans"], s1["root_orient"],
+                           s1["pose_body"], s1["betas"])
+
+    init_vars = O.init_variables(tto_cfg, models, B, observed)
+    pred0, _ = O._stage12_pred(models, init_vars)
+
+    err0 = float(jnp.mean(jnp.linalg.norm(
+        pred0["joints3d"] - observed["joints3d"], axis=-1)))
+    err1 = float(jnp.mean(jnp.linalg.norm(
+        pred1["joints3d"] - observed["joints3d"], axis=-1)))
+    assert err1 < err0 * 0.7, (err0, err1)
+
+
+def test_velocity_estimation():
+    # constant velocity sequence -> exact recovery
+    t = jnp.arange(6, dtype=jnp.float32)
+    seq = (t[:, None] * jnp.asarray([0.3, -0.1, 0.2]))[None]  # (1, 6, 3)
+    vel = O.estimate_linear_velocity(seq, h=1.0)
+    np.testing.assert_allclose(
+        np.asarray(vel), np.tile([0.3, -0.1, 0.2], (1, 6, 1)), atol=1e-5)
+
+
+def test_angular_velocity_constant_rotation():
+    from humor_tpu.ops import transforms
+    # rotation about z at 0.2 rad/step
+    angles = jnp.arange(6, dtype=jnp.float32) * 0.2
+    aa = jnp.stack([jnp.zeros_like(angles), jnp.zeros_like(angles),
+                    angles], axis=-1)
+    R = transforms.aa_to_rotmat(aa)[None]  # (1, 6, 3, 3)
+    w = O.estimate_angular_velocity(R, h=1.0)
+    # middle steps: finite-difference approx of 0.2 rad/step about z
+    np.testing.assert_allclose(np.asarray(w[0, 2:-2, 2]), 0.2, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(w[0, 2:-2, :2]), 0.0, atol=1e-4)
