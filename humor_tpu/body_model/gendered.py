@@ -25,6 +25,29 @@ def gender_ids_from_names(names: Sequence[str]) -> np.ndarray:
     return np.asarray([GENDER_IDS[n] for n in names], np.int32)
 
 
+def make_rollout_joint_fn(models: Dict[str, SmplModel],
+                          gender_ids: jnp.ndarray,  # (B,)
+                          betas: jnp.ndarray,       # (B, n_betas)
+                          order: Tuple[str, ...] = ("male", "female")):
+    """Build the HuMoR-Qual joint-feedback callback for
+    humor_tpu.models.humor.rollout: runs the gendered SMPL forward on the
+    step's predicted params and returns flat (B, 22*3) joints."""
+    from humor_tpu.body_model import constants as C
+    from humor_tpu.ops import transforms
+
+    def joint_fn(trans, root_orient_mat, pose_body_mat):
+        B = trans.shape[0]
+        root_aa = transforms.rotmat_to_aa(
+            root_orient_mat.reshape(B, 3, 3))
+        pose_aa = transforms.rotmat_to_aa(
+            pose_body_mat.reshape(B, -1, 3, 3)).reshape(B, -1)
+        out = gendered_forward(models, gender_ids, root_aa, pose_aa,
+                               betas, trans, order=order)
+        return out.Jtr[:, :C.NUM_SMPL_JOINTS].reshape(B, -1)
+
+    return joint_fn
+
+
 def gendered_forward(
     models: Dict[str, SmplModel],
     gender_ids: jnp.ndarray,  # (B,) int32 — values must index into `order`

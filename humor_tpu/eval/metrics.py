@@ -88,9 +88,16 @@ def toe_floor_penetration(joints: jnp.ndarray,
 
 def contact_accuracy(pred_contacts: np.ndarray, gt_contacts: np.ndarray
                      ) -> Tuple[int, int]:
-    """Binary contact agreement over the 9 prior joints -> (correct, total)."""
-    p = np.asarray(pred_contacts)[:, np.asarray(C.CONTACT_INDS)]
-    g = np.asarray(gt_contacts)[:, np.asarray(C.CONTACT_INDS)]
+    """Binary contact agreement over the 9 prior joints -> (correct,
+    total). Accepts either full 22-joint arrays or the 9-contact-joint
+    packing (the dataset's storage layout)."""
+    def _nine(x):
+        x = np.asarray(x)
+        if x.shape[-1] == len(C.CONTACT_INDS):
+            return x
+        return x[..., np.asarray(C.CONTACT_INDS)]
+
+    p, g = _nine(pred_contacts), _nine(gt_contacts)
     return int(((p - g) == 0).sum()), int(p.size)
 
 
@@ -169,6 +176,57 @@ def aggregate(per_seq: List[Dict[str, np.ndarray]]
                       "median": float(np.median(vals)),
                       "max": float(vals.max()),
                       "min": float(vals.min())}
+    return out
+
+
+def to_comparison_skeleton(joints: jnp.ndarray,
+                           source: str = "smpl") -> jnp.ndarray:
+    """Map SMPL (22) or iMapper (16) joints onto the shared 12-joint
+    comparison skeleton (reference eval_utils.py:374-389)."""
+    idx = np.asarray(SMPL2COMPARE if source == "smpl" else IMAP2COMPARE)
+    return joints[..., idx, :]
+
+
+def quant_eval_2d(pred_joints_smpl: jnp.ndarray,   # (T, 22, 3) camera frame
+                  gt_joints_imap: Optional[jnp.ndarray] = None,  # (T,16,3)
+                  floor_plane: Optional[jnp.ndarray] = None,     # (4,)
+                  occlusions: Optional[jnp.ndarray] = None,      # (T, 16)
+                  ) -> Dict[str, np.ndarray]:
+    """RGB fitting eval (reference eval_fitting_2d.py / eval_utils.py
+    :137-288): iMapper comparison-skeleton MPJPE (global + root-aligned,
+    all/ee/legs, vis/occ split) when GT is given; plausibility (accel +
+    ground penetration vs the predicted floor) always."""
+    out: Dict[str, np.ndarray] = {}
+
+    if gt_joints_imap is not None:
+        pred_c = to_comparison_skeleton(pred_joints_smpl, "smpl")
+        gt_c = to_comparison_skeleton(gt_joints_imap, "imap")
+        valid = ~np.isinf(np.asarray(gt_c[..., 0]))  # (T, 12)
+        err = np.asarray(positional_errors(
+            pred_c, jnp.where(jnp.isinf(gt_c), 0.0, gt_c)))
+        out["joints3d_comp_all"] = err[valid]
+        # root (pelvis, COMP_ROOT_IDX) aligned
+        pred_a = pred_c - pred_c[:, COMP_ROOT_IDX: COMP_ROOT_IDX + 1]
+        gt_safe = jnp.where(jnp.isinf(gt_c), 0.0, gt_c)
+        gt_a = gt_safe - gt_safe[:, COMP_ROOT_IDX: COMP_ROOT_IDX + 1]
+        err_a = np.asarray(positional_errors(pred_a, gt_a))
+        out["joints3d_comp_align"] = err_a[valid]
+        if occlusions is not None:
+            occ = np.asarray(occlusions)[
+                :, np.asarray(IMAP2COMPARE)].astype(bool)
+            out["joints3d_comp_vis"] = err[valid & ~occ]
+            out["joints3d_comp_occ"] = err[valid & occ]
+
+    out["accel_mag"] = np.asarray(
+        joint_accel_mag(pred_joints_smpl)).reshape(-1)
+    counts, total, pen_dist = toe_floor_penetration(
+        pred_joints_smpl,
+        None if floor_plane is None else jnp.asarray(floor_plane))
+    out["ground_pen_dist"] = pen_dist
+    for t, c in zip(GRND_PEN_THRESH_LIST, counts):
+        key = f"ground_pen@{t:.2f}"
+        out[key] = np.asarray([c])
+        out[key + "_cnt"] = np.asarray([total])
     return out
 
 

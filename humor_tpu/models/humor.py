@@ -281,6 +281,7 @@ def rollout(
     z_seq: Optional[jnp.ndarray] = None,
     canonicalize_input: bool = False,
     uncanonicalize_output: bool = False,
+    smpl_joint_fn=None,
 ) -> RolloutResult:
     """Autoregressive generation from an initial typed state (matrix rots,
     steps_in=1 layout: each component (B, D)).
@@ -289,6 +290,13 @@ def rollout(
     `canonicalize_input`, the initial state may be in an arbitrary world
     frame; with `uncanonicalize_output` the trajectory is returned in that
     original frame instead of the canonical one.
+
+    `smpl_joint_fn(trans (B,3), root_orient_mat (B,9), pose_body_mat
+    (B,J*9)) -> joints (B, 22*3)` enables HuMoR-Qual: the joints fed back
+    into the next step come from an SMPL forward on the predicted params
+    instead of the decoder's joint output (reference use_smpl_joint_inputs,
+    humor_model.py:210-228, 894-940 — there a per-step gender-split torch
+    pass; here one where-select LBS inside the scan).
     """
     if cfg.steps_in != 1:
         raise NotImplementedError("rollout currently supports steps_in=1")
@@ -333,6 +341,11 @@ def rollout(
         else:
             z = rsample(step_key, pm, pv)
         pred = decode(cfg, params, z, past_in)
+
+        if smpl_joint_fn is not None and "joints" in pred:
+            pred = dict(pred)
+            pred["joints"] = smpl_joint_fn(
+                pred["trans"], pred["root_orient"], pred["pose_body"])
 
         # world-frame output under the running global transform
         g_xform = FrameTransform(g_rot, g_trans, t2j)
