@@ -1,0 +1,215 @@
+"""Flagship benchmark: 3-stage TTO wall-clock per 60-frame sub-sequence
+batch (the driver-defined baseline, BASELINE.md).
+
+Ours: the jitted stage programs from humor_tpu.fitting.optimizer at the
+reference's workload (batch 2 x 60 frames @30fps, iters 30/70/70, L-BFGS
+strong Wolfe) on whatever backend jax selects (real TPU under the driver).
+
+Baseline: a faithful torch-CPU re-creation of the reference's hot loop —
+per-iteration L-BFGS closures that run VPoser-decode + SMPL LBS for
+stages 1/2 and the T-step Python rollout through the HuMoR MLPs + SMPL
+for stage 3 (motion_optimizer.py:202-610 structure). We run torch's own
+LBFGS(strong_wolfe) for a few iterations per stage and extrapolate its
+measured per-iteration cost to the full 30/70/70 budget.
+
+Usage: python benchmarks/bench_tto.py [--quick]
+Prints one JSON line: tto_60frame_batch2_wallclock (seconds) +
+vs_baseline speedup.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+B, T = 2, 60
+NUM_ITERS = (30, 70, 70)
+V_VERTS, V_JOINTS = 6890, 52  # real SMPL+H scale
+
+
+def bench_ours(quick=False):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from humor_tpu.body_model.smpl import synthetic_smpl_model
+    from humor_tpu.fitting import energies as E
+    from humor_tpu.fitting import optimizer as O
+    from humor_tpu.models import gmm as gmm_lib
+    from humor_tpu.models import humor as H
+    from humor_tpu.models import vposer as vp
+
+    body = synthetic_smpl_model(num_verts=V_VERTS, num_joints=22)
+    vcfg = vp.VPoserConfig()
+    hcfg = H.HumorConfig()
+    models = O.TTOModels(
+        body=body, vposer_cfg=vcfg,
+        vposer=vp.init_params(vcfg, jax.random.PRNGKey(1)),
+        humor_cfg=hcfg, humor=H.init_params(hcfg, jax.random.PRNGKey(2)),
+        init_gmm=gmm_lib.GmmParams(jnp.ones((12,)) / 12,
+                                   jnp.zeros((12, 138)),
+                                   jnp.broadcast_to(jnp.eye(138),
+                                                    (12, 138, 138))))
+    rng = np.random.RandomState(0)
+    z = jnp.asarray(rng.randn(B, T, vcfg.latent_dim) * 0.3, jnp.float32)
+    pose = vp.latent2pose(vcfg, models.vposer, z)
+    trans = jnp.asarray(rng.randn(B, T, 3) * 0.1, jnp.float32)
+    ro = jnp.asarray(np.tile(rng.randn(B, 1, 3) * 0.2, (1, T, 1)),
+                     jnp.float32)
+    gt = O.smpl_results(models.body, trans, ro, pose, jnp.zeros((B, 16)))
+    observed = {"joints3d": gt["joints3d"]}
+
+    iters = (4, 4, 4) if quick else NUM_ITERS
+    w1 = E.StageWeights(joints3d=1.0)
+    w2 = E.StageWeights(joints3d=1.0, pose_prior=2e-4,
+                        shape_prior=1.67e-4, joints3d_smooth=10.0)
+    w3 = E.StageWeights(joints3d=1.0, shape_prior=1.67e-4,
+                        motion_prior=1e-3, init_motion_prior=1e-3,
+                        joint_consistency=1.0, bone_length=10.0,
+                        contact_vel=1.0, contact_height=1.0)
+    cfg = O.TTOConfig(seq_len=T, stage_weights=(w1, w2, w3),
+                      num_iters=iters,
+                      stage3_freeze_start=min(30, iters[2]),
+                      stage3_freeze_end=min(55, iters[2]))
+    runner = O.make_runner(cfg, models)
+
+    res = runner(observed)  # compile
+    jax.block_until_ready(res.final["trans"])
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        res = runner(observed)
+        jax.block_until_ready(res.final["trans"])
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
+
+def bench_reference_style(quick=False):
+    """torch-CPU reference-structure TTO cost, extrapolated from measured
+    per-iteration L-BFGS times."""
+    import numpy as np
+    import torch
+
+    torch.manual_seed(0)
+    D_in, L, LP = 339, 48, 32
+
+    def mlp(sizes):
+        layers = [torch.nn.Linear(sizes[0], sizes[1])]
+        for i in range(1, len(sizes) - 1):
+            layers += [torch.nn.GroupNorm(16, sizes[i]), torch.nn.ReLU(),
+                       torch.nn.Linear(sizes[i], sizes[i + 1])]
+        return torch.nn.Sequential(*layers)
+
+    prior_net = mlp([D_in, 1024, 1024, 1024, 1024, L * 2])
+    decoder = mlp([D_in + L, 1024, 1024, 512, 216])
+    vposer_dec = torch.nn.Sequential(
+        torch.nn.Linear(LP, 512), torch.nn.LeakyReLU(0.2),
+        torch.nn.Linear(512, 512), torch.nn.LeakyReLU(0.2),
+        torch.nn.Linear(512, 21 * 6))
+    for m in (prior_net, decoder, vposer_dec):
+        for p in m.parameters():
+            p.requires_grad_(False)
+
+    # SMPL-scale LBS stand-in: shape/pose blend + skinning matmuls
+    Vv, J = V_VERTS, 22
+    shapedirs = torch.randn(Vv * 3, 16) * 0.01
+    weights_x_rot = torch.randn(Vv, J * 9) * 0.02  # skinning contraction
+    j_reg = torch.randn(J, Vv) * 0.01
+
+    def smpl_fwd(betas, pose_aa, trans):
+        n = pose_aa.shape[0]
+        v = (shapedirs @ betas.T).T.reshape(n, Vv, 3)
+        rot_feats = torch.cat([pose_aa, pose_aa, pose_aa], dim=1)[:, :J * 9]
+        v = v + (weights_x_rot @ rot_feats.unsqueeze(-1)).reshape(n, Vv, 1) * 0.001
+        joints = torch.einsum("jv,nvc->njc", j_reg, v) + trans.unsqueeze(1)
+        return v, joints
+
+    obs_joints = torch.randn(B, T, J, 3)
+
+    def run_lbfgs_iters(params, closure, n_iters):
+        opt = torch.optim.LBFGS(params, max_iter=20, lr=1.0,
+                                line_search_fn="strong_wolfe")
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            opt.step(closure)
+        return (time.perf_counter() - t0) / n_iters
+
+    # stage 1/2-style closure: vposer decode + SMPL over B*T frames
+    trans = torch.zeros(B, T, 3, requires_grad=True)
+    latent_pose = torch.zeros(B, T, LP, requires_grad=True)
+    betas = torch.zeros(B, 16, requires_grad=True)
+
+    def closure12():
+        pose6 = vposer_dec(latent_pose.reshape(-1, LP))
+        pose_aa = pose6.reshape(B * T, -1)[:, :63]
+        bt = betas.unsqueeze(1).expand(B, T, 16).reshape(-1, 16)
+        _, joints = smpl_fwd(bt, torch.cat(
+            [pose_aa, pose_aa, pose_aa], dim=1)[:, :J * 9],
+            trans.reshape(-1, 3))
+        loss = torch.sum((joints.reshape(B, T, J, 3) - obs_joints) ** 2)
+        loss.backward()
+        return loss
+
+    n_meas = 2 if quick else 3
+    t12 = run_lbfgs_iters([trans, latent_pose, betas],
+                          lambda: (closure12()), n_meas)
+
+    # stage 3-style closure: T-step python rollout + SMPL + backward
+    latent_motion = torch.zeros(B, T - 1, L, requires_grad=True)
+
+    def closure3():
+        x = torch.randn(B, D_in) * 0.01 + 0.0 * latent_motion.sum()
+        poses = []
+        for t in range(T - 1):
+            z = latent_motion[:, t]
+            out = decoder(torch.cat([x, z], dim=1))
+            # delta compose + canonicalization stand-in
+            Rm = out[:, :9].reshape(B, 3, 3)
+            _ = torch.matmul(Rm, Rm.transpose(1, 2))
+            x = torch.cat([out, x[:, 216:]], dim=1)
+            poses.append(out[:, 9: 9 + 63])
+        pose_aa = torch.stack(poses, dim=1).reshape(-1, 63)
+        bt = betas.detach().unsqueeze(1).expand(B, T - 1, 16).reshape(-1, 16)
+        _, joints = smpl_fwd(bt, torch.cat(
+            [pose_aa, pose_aa, pose_aa], dim=1)[:, :J * 9],
+            torch.zeros(B * (T - 1), 3))
+        loss = torch.sum(joints ** 2) * 1e-6
+        loss = loss + torch.sum(latent_motion ** 2)
+        loss.backward()
+        return loss
+
+    t3 = run_lbfgs_iters([latent_motion], lambda: (closure3()), n_meas)
+
+    total = (NUM_ITERS[0] + NUM_ITERS[1]) * t12 + NUM_ITERS[2] * t3
+    return total
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+
+    ours = bench_ours(quick=args.quick)
+    scale = 1.0
+    if args.quick:
+        scale = sum(NUM_ITERS) / 12.0  # extrapolate quick iters
+        ours = ours * scale
+    try:
+        ref = bench_reference_style(quick=args.quick)
+        vs = ref / ours
+    except Exception:
+        ref, vs = float("nan"), float("nan")
+    print(json.dumps({
+        "metric": "tto_60frame_batch2_wallclock",
+        "value": round(ours, 3),
+        "unit": "s",
+        "vs_baseline": round(vs, 2),
+        "baseline_s": round(ref, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
