@@ -37,6 +37,8 @@ def split_overlapping_windows(num_frames: int, seq_len: int,
     Returns (intervals, effective_overlap)."""
     if num_frames <= seq_len:
         return [(0, num_frames)], 0
+    # a valid split needs the window to advance: overlap < seq_len
+    overlap_len = min(overlap_len, seq_len - 1)
     num_seqs = math.ceil((num_frames - overlap_len)
                          / (seq_len - overlap_len))
     r = seq_len * num_seqs - overlap_len * (num_seqs - 1) - num_frames
@@ -91,6 +93,33 @@ def mask_occluded_joints(joints2d: np.ndarray, mask: np.ndarray
     out = joints2d.copy()
     out[occluded] = 0.0
     return out
+
+
+def load_planercnn_floor(res_path: str) -> np.ndarray:
+    """Heuristic floor plane from PlaneRCNN results: the plane with the
+    most mask pixels in the bottom rows whose normal is y-dominant
+    (reference fitting_utils.py:107-147). Returns (a, b, c, d)."""
+    params_path = glob.glob(os.path.join(res_path,
+                                         "*_plane_parameters_*.npy"))[0]
+    masks_path = glob.glob(os.path.join(res_path,
+                                        "*_plane_masks_*.npy"))[0]
+    params = np.load(params_path)
+    masks = np.load(masks_path)
+
+    label_count = masks[:, -10:, :].sum(axis=(1, 2))
+    while True:
+        idx = int(np.argmax(label_count))
+        if label_count[idx] <= 0:
+            return DEFAULT_GROUND.copy()
+        p = params[idx]
+        plane = np.asarray([p[0], -p[2], p[1]], np.float64)
+        off = np.linalg.norm(plane)
+        normal = plane / max(off, 1e-12)
+        if normal[1] > 0:
+            normal, off = -normal, -off
+        if abs(normal[1]) > abs(normal[0]) and abs(normal[1]) > abs(normal[2]):
+            return np.concatenate([normal, [off]]).astype(np.float32)
+        label_count[idx] = 0
 
 
 @dataclass

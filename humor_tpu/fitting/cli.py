@@ -80,10 +80,10 @@ def main(argv=None) -> Dict:
     os.makedirs(cfg.out, exist_ok=True)
     models = load_models(cfg)
 
+    if cfg.data_type in ("RGB", "PROX-RGB", "PROX-RGBD", "iMapper-RGB"):
+        return _run_rgb(cfg, models)
     if cfg.data_type != "AMASS":
-        raise NotImplementedError(
-            f"data type {cfg.data_type!r} requires the RGB/PROX/iMapper "
-            "observation loaders (humor_tpu.data.rgb)")
+        raise NotImplementedError(f"unknown data type {cfg.data_type!r}")
 
     weights = cfg.stage_weights()
     if all(w.joints3d == 0 for w in weights):
@@ -157,6 +157,102 @@ def main(argv=None) -> Dict:
     M.write_csv(os.path.join(cfg.out, "eval_mean.csv"), table)
     print(f"[fit] wrote {os.path.join(cfg.out, 'eval_mean.csv')}")
     return table
+
+
+def _smpl2op_for(body) -> tuple:
+    """smpl->openpose map valid for the loaded body: the real table for a
+    full SMPL+H (52 joints + 21 extra vertex joints), a modulo stand-in
+    for synthetic test bodies."""
+    from humor_tpu.body_model import constants as C
+
+    n_out = body.num_joints + body.vtx_joint_ids.size
+    table = C.smpl_to_openpose("smplh", use_hands=False)
+    if int(table.max()) < n_out:
+        return tuple(int(i) for i in table)
+    return tuple(int(i % n_out) for i in range(C.OP_NUM_JOINTS))
+
+
+def _run_rgb(cfg, models):
+    """RGB / PROX / iMapper fitting: joint optimization of ALL overlapping
+    windows of a video in one device-parallel batch with overlap coupling,
+    then stitching (reference run_fitting.py:195-453, with the sequential
+    prev_batch chaining replaced by the all-windows batch)."""
+    import jax
+    import jax.numpy as jnp
+
+    from humor_tpu.data.rgb import RGBVideoConfig, RGBVideoDataset
+    from humor_tpu.fitting import energies as E
+    from humor_tpu.fitting import optimizer as O
+    from humor_tpu.fitting import results as R
+
+    if cfg.data_type.startswith("PROX"):
+        from humor_tpu.data.prox import ProxConfig, ProxDataset
+
+        ds = ProxDataset(
+            cfg.data_path,
+            os.path.join(os.path.dirname(cfg.data_path.rstrip("/")),
+                         "..", "calibration"),
+            ProxConfig(seq_len=cfg.seq_len,
+                       use_depth=cfg.data_type == "PROX-RGBD"))
+        observed = ds.observation_batch()
+    elif cfg.data_type == "iMapper-RGB":
+        from humor_tpu.data.imapper import IMapperConfig, IMapperDataset
+
+        ds = IMapperDataset(cfg.data_path,
+                            IMapperConfig(seq_len=cfg.seq_len))
+        observed, _ = ds.observation_batch()
+    else:
+        ds = RGBVideoDataset(
+            cfg.data_path,
+            RGBVideoConfig(seq_len=cfg.seq_len,
+                           overlap_len=cfg.overlap_len))
+        observed = ds.observation_batch()
+
+    weights = cfg.stage_weights()
+    if all(w.joints2d == 0 for w in weights):
+        weights = (
+            E.StageWeights(joints2d=0.001),
+            E.StageWeights(joints2d=0.001, pose_prior=4e-4,
+                           shape_prior=6e-3, joints3d_smooth=100.0,
+                           rgb_overlap_consist=200.0),
+            E.StageWeights(joints2d=0.001, pose_prior=4e-4,
+                           shape_prior=6e-3, motion_prior=7.5e-4,
+                           init_motion_prior=7.5e-4,
+                           joint_consistency=100.0, bone_length=2000.0,
+                           contact_vel=100.0, contact_height=10.0,
+                           floor_reg=0.167, rgb_overlap_consist=200.0),
+        )
+    T = observed["joints2d"].shape[1]
+    tto_cfg = O.TTOConfig(
+        seq_len=T,
+        stage_weights=weights,
+        energy=E.EnergyConfig(robust_loss=cfg.robust_loss,
+                              joints2d_sigma=cfg.joint2d_sigma,
+                              smpl2op_map=_smpl2op_for(models.body)),
+        num_iters=tuple(int(n) for n in cfg.num_iters),
+        optim_floor=True,
+        stage3_tune_init_state=not cfg.stage3_no_tune_init_state,
+        stage3_tune_init_num_frames=cfg.stage3_tune_init_num_frames,
+        stage3_freeze_start=cfg.stage3_freeze_start,
+        stage3_freeze_end=cfg.stage3_freeze_end)
+
+    obs_jax = {k: jnp.asarray(v) for k, v in observed.items()}
+    t0 = time.time()
+    res = O.run(tto_cfg, models, obs_jax)
+    jax.block_until_ready(res.final["trans"])
+    print(f"[fit] video optimized in {time.time()-t0:.1f}s "
+          f"({observed['joints2d'].shape[0]} windows x {T} frames)")
+
+    if cfg.save_results:
+        R.save_stage_results(cfg.out, "final", res.final)
+        R.save_observations(cfg.out, observed)
+        stitched = R.stitch_windows(res.final, observed["seq_interval"])
+        os.makedirs(os.path.join(cfg.out, "final_results"), exist_ok=True)
+        np.savez(os.path.join(cfg.out, "final_results", "stitched.npz"),
+                 **{k: np.asarray(v) for k, v in stitched.items()})
+        print(f"[fit] wrote stitched result "
+              f"({stitched['trans'].shape[0]} frames)")
+    return res
 
 
 if __name__ == "__main__":

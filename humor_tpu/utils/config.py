@@ -158,6 +158,7 @@ class FitCLIConfig:
     data_type: str = "AMASS"  # AMASS | PROX-RGB | PROX-RGBD | iMapper-RGB | RGB
     batch_size: int = 1
     seq_len: int = 60
+    overlap_len: int = 10
     # observation modalities
     amass_use_joints: bool = True
     amass_use_verts: bool = False
