@@ -257,34 +257,67 @@ def lbs(model: SmplModel,
         betas: jnp.ndarray,        # (B, n_betas)
         rot_mats: jnp.ndarray,     # (B, J, 3, 3) full per-joint rotations
         trans: jnp.ndarray,        # (B, 3)
+        vert_ids: Optional[np.ndarray] = None,
         ) -> SmplOutput:
-    """Core skinning forward from per-joint rotation matrices."""
-    # shape blendshapes
+    """Core skinning forward from per-joint rotation matrices.
+
+    vert_ids: static vertex selection — skin ONLY these vertices. The
+    joint path (rest-joint regression + kinematic chain) always runs on
+    the full shaped template, so joints are exact; the expensive per-
+    vertex blend (pose blendshapes + skinning, the TTO hot path at
+    V=6890) shrinks to |vert_ids|. Extra vertex joints (vtx_joint_ids)
+    are appended to `vert_ids` automatically so Jtr keeps its layout.
+    """
+    # shape blendshapes (always full: rest joints regress from all verts)
     v_shaped = model.v_template + jnp.einsum(
         "bl,vcl->bvc", betas, model.shapedirs, precision=_HI)
     rest_joints = jnp.einsum("jv,bvc->bjc", model.j_regressor, v_shaped, precision=_HI)
 
-    # pose blendshapes from non-root rotations
     B = betas.shape[0]
+    n_extra = int(model.vtx_joint_ids.size)
+    if vert_ids is not None:
+        sel = np.concatenate([np.asarray(vert_ids, np.int64).reshape(-1),
+                              np.asarray(model.vtx_joint_ids,
+                                         np.int64).reshape(-1)])
+        sel = sel.astype(np.int32)
+        v_shaped_s = v_shaped[:, sel]
+        weights_s = model.lbs_weights[sel]
+        P = model.posedirs.shape[0]
+        V = model.v_template.shape[0]
+        posedirs_s = model.posedirs.reshape(P, V, 3)[:, sel].reshape(P, -1)
+        extra_slice = slice(len(sel) - n_extra, len(sel))
+    else:
+        v_shaped_s = v_shaped
+        weights_s = model.lbs_weights
+        posedirs_s = model.posedirs
+        extra_slice = None
+
+    # pose blendshapes from non-root rotations
     eye = jnp.eye(3, dtype=rot_mats.dtype)
     pose_feat = (rot_mats[:, 1:] - eye).reshape(B, -1)  # (B, 9*(J-1))
-    v_posed = v_shaped + jnp.matmul(pose_feat, model.posedirs, precision=_HI).reshape(B, -1, 3)
+    v_posed = v_shaped_s + jnp.matmul(
+        pose_feat, posedirs_s, precision=_HI).reshape(B, -1, 3)
 
     posed_joints, Rw, t_rel = _rigid_transform_chain(
         rot_mats, rest_joints, model.parents)
 
     # skinning: per-vertex blended rotation+translation
-    W = model.lbs_weights  # (V, J)
-    R_v = jnp.einsum("vj,bjik->bvik", W, Rw, precision=_HI)     # (B, V, 3, 3)
-    t_v = jnp.einsum("vj,bji->bvi", W, t_rel, precision=_HI)    # (B, V, 3)
+    R_v = jnp.einsum("vj,bjik->bvik", weights_s, Rw, precision=_HI)
+    t_v = jnp.einsum("vj,bji->bvi", weights_s, t_rel, precision=_HI)
     v_out = jnp.einsum("bvik,bvk->bvi", R_v, v_posed, precision=_HI) + t_v
 
     v_out = v_out + trans[:, None, :]
     joints_out = posed_joints + trans[:, None, :]
 
-    if model.vtx_joint_ids.size > 0:
-        extra = v_out[:, np.asarray(model.vtx_joint_ids)]
+    if n_extra > 0:
+        if extra_slice is not None:
+            extra = v_out[:, extra_slice]
+            v_out = v_out[:, : extra_slice.start]
+        else:
+            extra = v_out[:, np.asarray(model.vtx_joint_ids)]
         joints_out = jnp.concatenate([joints_out, extra], axis=1)
+    elif extra_slice is not None:
+        v_out = v_out  # no extras appended; selection is exactly vert_ids
     return SmplOutput(v=v_out, Jtr=joints_out)
 
 
@@ -294,6 +327,7 @@ def forward(model: SmplModel,
             betas: jnp.ndarray,                  # (B, n_betas)
             trans: jnp.ndarray,                  # (B, 3)
             pose_hand: Optional[jnp.ndarray] = None,  # (B, 30*3) aa
+            vert_ids: Optional[np.ndarray] = None,
             ) -> SmplOutput:
     """User-facing forward matching the reference BodyModel call signature
     (body_model.py:72-115): body joints only by default, hands flat when
@@ -323,7 +357,7 @@ def forward(model: SmplModel,
                 jnp.eye(3, dtype=betas.dtype), (B, n_rest, 3, 3))
         mats.append(hand_mat)
     rot_mats = jnp.concatenate(mats, axis=1)
-    return lbs(model, betas, rot_mats, trans)
+    return lbs(model, betas, rot_mats, trans, vert_ids=vert_ids)
 
 
 def find_model_path(base: str, gender: str) -> str:

@@ -124,8 +124,13 @@ def main(argv=None) -> Dict:
             amass_fit_batches(dataset, obs_cfg, cfg.batch_size, cfg.seed)):
         t0 = time.time()
         obs_jax = {k: jnp.asarray(v) for k, v in observed.items()}
-        res = runner(obs_jax)
-        jax.block_until_ready(res.final["trans"])
+        try:
+            res = runner(obs_jax)
+            jax.block_until_ready(res.final["trans"])
+        except Exception as e:  # keep the run alive per batch
+            # (reference run_fitting.py:437-446 catch-and-continue)
+            print(f"[fit] batch {bidx} FAILED: {e}")
+            continue
         dt = time.time() - t0
         names = [f"batch{bidx:03d}_seq{i:03d}"
                  for i in range(cfg.batch_size)]

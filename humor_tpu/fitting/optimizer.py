@@ -85,33 +85,65 @@ class TTOModels(NamedTuple):
 # SMPL forward over a sequence batch
 # ---------------------------------------------------------------------------
 
+def _keypt_ids(body) -> np.ndarray:
+    return np.asarray([i for i in C.KEYPT_VERTS if i < body.num_verts],
+                      np.int32)
+
+
+def verts_mode_for(observed) -> str:
+    """Cheapest vertex set the energies actually read, by observed keys:
+    'full' (point-cloud chamfer needs all verts), 'keypt' (43-keypoint
+    verts3d data term or overlap-consistency), 'none' (joints-only)."""
+    if "points3d" in observed:
+        return "full"
+    if "verts3d" in observed or "seq_interval" in observed:
+        return "keypt"
+    return "none"
+
+
 def smpl_results(body: smpl_lib.SmplModel,
                  trans: jnp.ndarray,        # (B, T, 3)
                  root_orient: jnp.ndarray,  # (B, T, 3) aa
                  body_pose: jnp.ndarray,    # (B, T, 63) aa
                  betas: jnp.ndarray,        # (B, nb)
+                 verts: str = "full",
                  ) -> Dict[str, jnp.ndarray]:
     """One batched LBS pass over all B*T frames -> typed prediction dict
-    (reference smpl_results, motion_optimizer.py:1065-1110)."""
+    (reference smpl_results, motion_optimizer.py:1065-1110).
+
+    `verts` selects how much of the mesh is skinned (TTO hot path —
+    the reference always skins all 6890 verts even for joints-only
+    fits): 'full' -> points3d+verts3d, 'keypt' -> verts3d only,
+    'none' -> joints only. Extra OpenPose vertex joints are always
+    produced."""
     B, T = trans.shape[:2]
+    if verts == "full":
+        vert_ids = None
+    elif verts == "keypt":
+        vert_ids = _keypt_ids(body)
+    else:
+        vert_ids = np.zeros((0,), np.int32)
     out = smpl_lib.forward(
         body,
         root_orient.reshape(B * T, 3),
         body_pose.reshape(B * T, -1),
         jnp.repeat(betas, T, axis=0),
         trans.reshape(B * T, 3),
+        vert_ids=vert_ids,
     )
     Jtr = out.Jtr.reshape(B, T, -1, 3)
-    v = out.v.reshape(B, T, -1, 3)
     nj = C.NUM_SMPL_JOINTS
-    keypt = np.asarray([i for i in C.KEYPT_VERTS if i < v.shape[2]],
-                       np.int32)
-    return {
+    res = {
         "joints3d": Jtr[:, :, :nj],
         "joints3d_extra": Jtr[:, :, nj:],
-        "points3d": v,
-        "verts3d": v[:, :, keypt],
     }
+    if verts == "full":
+        v = out.v.reshape(B, T, -1, 3)
+        res["points3d"] = v
+        res["verts3d"] = v[:, :, _keypt_ids(body)]
+    elif verts == "keypt":
+        res["verts3d"] = out.v.reshape(B, T, -1, 3)
+    return res
 
 
 # ---------------------------------------------------------------------------
@@ -142,7 +174,8 @@ def estimate_velocities(body: smpl_lib.SmplModel, trans, root_orient,
                         body_pose, betas, fps: float):
     """(trans_vel, joints_vel, root_orient_vel) from an SMPL sequence."""
     h = 1.0 / fps
-    pred = smpl_results(body, trans, root_orient, body_pose, betas)
+    pred = smpl_results(body, trans, root_orient, body_pose, betas,
+                        verts="none")
     trans_vel = estimate_linear_velocity(trans, h)
     joints_vel = estimate_linear_velocity(pred["joints3d"], h)
     R = transforms.aa_to_rotmat(root_orient)
@@ -158,7 +191,8 @@ def _seq_state_dict(body, trans, root_orient, body_pose, betas, fps):
     """SMPL sequence -> HuMoR global-state dict with matrix rotations
     (components (B, T, D))."""
     B, T = trans.shape[:2]
-    pred = smpl_results(body, trans, root_orient, body_pose, betas)
+    pred = smpl_results(body, trans, root_orient, body_pose, betas,
+                        verts="none")
     trans_vel, joints_vel, root_orient_vel = _vel_from_results(
         trans, root_orient, pred["joints3d"], fps)
     return {
@@ -231,11 +265,11 @@ def rollout_latent_motion(cfg: TTOConfig, models: TTOModels,
             jnp.zeros((B,), jnp.int32),
             smpl_root_joint_fn=lambda tr, ro: smpl_results(
                 models.body, tr, ro, body_pose0,
-                variables["betas"])["joints3d"][..., 0, 2])
+                variables["betas"], verts="none")["joints3d"][..., 0, 2])
         trans0, root0 = prior["trans"], prior["root_orient"]
 
     pred0 = smpl_results(models.body, trans0, root0, body_pose0,
-                         variables["betas"])
+                         variables["betas"], verts="none")
     joints0 = pred0["joints3d"]  # (B, 1, 22, 3)
 
     init_state = {
@@ -324,7 +358,7 @@ def _init_z_from_bones(cfg, models, variables, observed) -> jnp.ndarray:
                                variables["latent_pose"])
     pred = smpl_results(models.body, variables["trans"],
                         variables["root_orient"], body_pose,
-                        variables["betas"])
+                        variables["betas"], verts="none")
     full = jnp.concatenate([pred["joints3d"], pred["joints3d_extra"]],
                            axis=2)
     op_j3d = full[:, :, np.asarray(cfg.energy.smpl2op_map)]
@@ -361,12 +395,13 @@ class TTOResult(NamedTuple):
     losses: Dict[str, jnp.ndarray]         # per-stage loss histories
 
 
-def _stage12_pred(models, variables):
+def _stage12_pred(models, variables, observed=None):
     body_pose = vp.latent2pose(models.vposer_cfg, models.vposer,
                                variables["latent_pose"])
+    mode = verts_mode_for(observed) if observed is not None else "full"
     pred = smpl_results(models.body, variables["trans"],
                         variables["root_orient"], body_pose,
-                        variables["betas"])
+                        variables["betas"], verts=mode)
     pred["latent_pose"] = variables["latent_pose"]
     pred["betas"] = variables["betas"]
     return pred, body_pose
@@ -397,12 +432,12 @@ def make_runner(cfg: TTOConfig, models: TTOModels, mesh=None):
 
     # ---- stage 1/2 losses
     def stage1_loss(v, observed):
-        pred, _ = _stage12_pred(models, v)
+        pred, _ = _stage12_pred(models, v, observed)
         loss, _ = E.root_fit(cfg.energy, w1, observed, pred)
         return loss
 
     def stage2_loss(v, observed):
-        pred, _ = _stage12_pred(models, v)
+        pred, _ = _stage12_pred(models, v, observed)
         loss, _ = E.smpl_fit(cfg.energy, w2, observed, pred, T)
         return loss
 
@@ -412,7 +447,7 @@ def make_runner(cfg: TTOConfig, models: TTOModels, mesh=None):
         bp0 = vp.latent2pose(models.vposer_cfg, models.vposer,
                              v["latent_pose"])
         cam_smpl = smpl_results(models.body, v["trans"], v["root_orient"],
-                                bp0, v["betas"])
+                                bp0, v["betas"], verts="none")
         return geo.compute_cam2prior(
             v["floor_plane"], v["trans"][:, 0], v["root_orient"][:, 0],
             cam_smpl["joints3d"][:, 0])
@@ -425,9 +460,11 @@ def make_runner(cfg: TTOConfig, models: TTOModels, mesh=None):
             zm = v["latent_motion"][:, : nsteps - 1]
             prior_out, cam_out = rollout_latent_motion(
                 cfg, models, v, zm, cam2prior=c2p)
+            mode = verts_mode_for(observed)
             pred = smpl_results(models.body, prior_out["trans"],
                                 prior_out["root_orient"],
-                                prior_out["pose_body"], v["betas"])
+                                prior_out["pose_body"], v["betas"],
+                                verts=mode)
             pred["latent_pose"] = vp.pose2latent(
                 models.vposer_cfg, models.vposer, prior_out["pose_body"])
             pred["betas"] = v["betas"]
@@ -442,7 +479,8 @@ def make_runner(cfg: TTOConfig, models: TTOModels, mesh=None):
             if cfg.optim_floor:
                 cam_pred = smpl_results(models.body, cam_out["trans"],
                                         cam_out["root_orient"],
-                                        cam_out["pose_body"], v["betas"])
+                                        cam_out["pose_body"], v["betas"],
+                                        verts=mode)
                 cam_pred["latent_pose"] = pred["latent_pose"]
                 cam_pred["betas"] = v["betas"]
                 cam_pred["floor_plane"] = v["floor_plane"]
@@ -511,7 +549,7 @@ def make_runner(cfg: TTOConfig, models: TTOModels, mesh=None):
                 jnp.zeros((B,), jnp.int32),
                 smpl_root_joint_fn=lambda tr, ro: smpl_results(
                     models.body, tr, ro, body_pose,
-                    vars_["betas"])["joints3d"][..., 0, 2])
+                    vars_["betas"], verts="none")["joints3d"][..., 0, 2])
             vel_trans, vel_root = pr["trans"], pr["root_orient"]
 
         latent_motion = infer_latent_motion(
