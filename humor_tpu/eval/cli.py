@@ -73,10 +73,18 @@ def main(argv=None) -> Dict:
         world_np, meta = dataset.sample_windows(cfg.seed, cfg.batch_size, 2)
         init_state = {k: jnp.asarray(world_np[k][:, 0]) for k in keep
                       if k in model_cfg.input_spec.names}
+        joint_fn = None
+        if cfg.qual:
+            from humor_tpu.body_model.gendered import make_rollout_joint_fn
+
+            joint_fn = make_rollout_joint_fn(
+                load_body_models(cfg.smplh_root),
+                jnp.asarray(meta["gender_ids"] % 2),
+                jnp.asarray(meta["betas"]))
         for s in range(cfg.eval_num_samples):
             out = HE.sample_motion(model_cfg, params,
                                    jax.random.fold_in(key, s), init_state,
-                                   steps)
+                                   steps, smpl_joint_fn=joint_fn)
             path = os.path.join(cfg.out, f"sample_{s:02d}.npz")
             np.savez(path, **{k: np.asarray(v) for k, v in out.items()})
             print(f"[test] wrote {path} ({steps} frames)")

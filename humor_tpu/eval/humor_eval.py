@@ -42,14 +42,18 @@ def eval_test(model_cfg: H.HumorConfig, loss_cfg: LossConfig, params,
 
 def sample_motion(model_cfg: H.HumorConfig, params, key: jax.Array,
                   init_state: Dict[str, jnp.ndarray], num_steps: int,
-                  use_mean: bool = False) -> Dict[str, jnp.ndarray]:
+                  use_mean: bool = False,
+                  smpl_joint_fn=None) -> Dict[str, jnp.ndarray]:
     """Generate motion from initial states (reference eval_sampling
-    :170-239): one jitted scan rollout, world-frame outputs (B, T, D)."""
+    :170-239): one jitted scan rollout, world-frame outputs (B, T, D).
+    Pass smpl_joint_fn (body_model.gendered.make_rollout_joint_fn) for
+    HuMoR-Qual SMPL-joint feedback."""
     roll = jax.jit(
         lambda p, k, s: H.rollout(model_cfg, p, k, s, num_steps,
                                   use_mean=use_mean,
                                   canonicalize_input=True,
-                                  uncanonicalize_output=True),
+                                  uncanonicalize_output=True,
+                                  smpl_joint_fn=smpl_joint_fn),
         static_argnames=())(params, key, init_state)
     return roll.world
 

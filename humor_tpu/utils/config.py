@@ -144,6 +144,7 @@ class TestCLIConfig:
     out: str = "./out/humor_test"
     eval_test: bool = False
     eval_sampling: bool = False
+    qual: bool = False  # HuMoR-Qual: SMPL-joint feedback during rollout
     eval_recon: bool = False
     eval_sampling_len: float = 10.0  # seconds
     eval_num_samples: int = 1
