@@ -53,14 +53,17 @@ def bench_ours(quick=False):
                                    jnp.zeros((12, 138)),
                                    jnp.broadcast_to(jnp.eye(138),
                                                     (12, 138, 138))))
-    rng = np.random.RandomState(0)
-    z = jnp.asarray(rng.randn(B, T, vcfg.latent_dim) * 0.3, jnp.float32)
-    pose = vp.latent2pose(vcfg, models.vposer, z)
-    trans = jnp.asarray(rng.randn(B, T, 3) * 0.1, jnp.float32)
-    ro = jnp.asarray(np.tile(rng.randn(B, 1, 3) * 0.2, (1, T, 1)),
-                     jnp.float32)
-    gt = O.smpl_results(models.body, trans, ro, pose, jnp.zeros((B, 16)))
-    observed = {"joints3d": gt["joints3d"]}
+    def make_obs(seed):
+        rng = np.random.RandomState(seed)
+        z = jnp.asarray(rng.randn(B, T, vcfg.latent_dim) * 0.3,
+                        jnp.float32)
+        pose = vp.latent2pose(vcfg, models.vposer, z)
+        trans = jnp.asarray(rng.randn(B, T, 3) * 0.1, jnp.float32)
+        ro = jnp.asarray(np.tile(rng.randn(B, 1, 3) * 0.2, (1, T, 1)),
+                         jnp.float32)
+        gt = O.smpl_results(models.body, trans, ro, pose,
+                            jnp.zeros((B, 16)), verts="none")
+        return {"joints3d": gt["joints3d"]}
 
     iters = (4, 4, 4) if quick else NUM_ITERS
     w1 = E.StageWeights(joints3d=1.0)
@@ -76,12 +79,15 @@ def bench_ours(quick=False):
                       stage3_freeze_end=min(55, iters[2]))
     runner = O.make_runner(cfg, models)
 
-    res = runner(observed)  # compile
+    res = runner(make_obs(0))  # compile
     jax.block_until_ready(res.final["trans"])
     times = []
+    # fresh observations per rep: identical (program, inputs) pairs can be
+    # served from an execution cache on some remote backends
     for i in range(3):
+        obs = make_obs(i + 1)
         t0 = time.perf_counter()
-        res = runner(observed)
+        res = runner(obs)
         jax.block_until_ready(res.final["trans"])
         times.append(time.perf_counter() - t0)
     return min(times)

@@ -169,6 +169,48 @@ class AmassDataset:
         return unpack_frames(self.store[s:e])
 
 
+def split_files(paths: Sequence[str], split_by: str = "dataset",
+                fractions: Tuple[float, float, float] = (0.8, 0.1, 0.1),
+                seed: int = 42) -> Dict[str, List[str]]:
+    """Partition processed files into train/val/test by unit
+    (reference amass_discrete_dataset.py:135-277 split modes):
+      'sequence' — each npz file is a unit;
+      'subject'  — all files of data_root/<dataset>/<subject> together;
+      'dataset'  — whole mocap datasets together (the HuMoR paper split
+                   uses fixed dataset lists; use amass.TRAIN/VAL/TEST_
+                   DATASETS for that instead of fractions).
+    """
+    import numpy as _np
+
+    if split_by == "single":
+        return {"train": list(paths), "val": list(paths),
+                "test": list(paths)}
+    if split_by == "sequence":
+        units = {p: p for p in paths}
+    elif split_by == "subject":
+        units = {p: os.path.dirname(p) for p in paths}
+    elif split_by == "dataset":
+        units = {p: os.path.dirname(os.path.dirname(p)) for p in paths}
+    else:
+        raise ValueError(f"unknown split_by {split_by!r}")
+
+    keys = sorted(set(units.values()))
+    rng = _np.random.RandomState(seed)
+    rng.shuffle(keys)
+    n = len(keys)
+    n_train = max(1, int(fractions[0] * n))
+    n_val = max(1 if n > 2 else 0, int(fractions[1] * n))
+    train_keys = set(keys[:n_train])
+    val_keys = set(keys[n_train:n_train + n_val])
+    out = {"train": [], "val": [], "test": []}
+    for p in paths:
+        k = units[p]
+        split = ("train" if k in train_keys
+                 else "val" if k in val_keys else "test")
+        out[split].append(p)
+    return out
+
+
 def find_processed_files(data_root: str,
                          datasets: Optional[Sequence[str]] = None,
                          split_by: str = "dataset",

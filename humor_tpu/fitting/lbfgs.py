@@ -75,27 +75,38 @@ def run_lbfgs(
         params, opt_state, best_params, best_val = carry
         value, grads = vg(params, *args)
         grads = _masked(grads, mask)
-        # best-iterate tracking: a failed zoom line search may accept an
-        # ascent step on hard landscapes; the returned params are always
-        # the best point actually evaluated
+        # best-iterate tracking: the returned params are always the best
+        # point actually evaluated
         better = jnp.isfinite(value) & (value < best_val)
         best_params = jax.tree_util.tree_map(
             lambda b, p: jnp.where(better, p, b), best_params, params)
         best_val = jnp.where(better, value, best_val)
 
-        updates, opt_state = opt.update(
+        updates, new_opt_state = opt.update(
             grads, opt_state, params,
             value=value, grad=grads,
             value_fn=lambda p: value_fn(p, *args),
         )
         updates = _masked(updates, mask)
         new_params = optax.apply_updates(params, updates)
-        # guard: reject non-finite steps (reference swallows NaN batches)
-        ok = jnp.isfinite(
-            optax.global_norm(updates)) & jnp.isfinite(value)
+
+        # monotone safeguard: a failed zoom line search can accept an
+        # ascent step, after which the corrupted curvature memory sends
+        # L-BFGS off to divergence. Evaluate the step; if it is not a
+        # (near-)descent step, reject it AND restart the optimizer memory
+        # from the current point (torch's closure-based LBFGS implicitly
+        # re-anchors the same way when users re-create the optimizer).
+        new_value = value_fn(new_params, *args)
+        tol = 1e-4 * jnp.abs(value) + 1e-8
+        ok = jnp.isfinite(new_value) & (new_value <= value + tol) \
+            & jnp.isfinite(optax.global_norm(updates))
         new_params = jax.tree_util.tree_map(
             lambda n, o: jnp.where(ok, n, o), new_params, params)
-        return (new_params, opt_state, best_params, best_val), value
+        fresh_state = opt.init(params)
+        new_opt_state = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(ok, a, b) if hasattr(a, "dtype")
+            else a, new_opt_state, fresh_state)
+        return (new_params, new_opt_state, best_params, best_val), value
 
     init_carry = (init_params, opt.init(init_params), init_params,
                   jnp.asarray(jnp.inf))

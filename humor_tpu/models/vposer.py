@@ -51,8 +51,14 @@ def init_params(cfg: VPoserConfig, key: jax.Array) -> Dict:
     ks = jax.random.split(key, 6)
 
     def lin(k, n_in, n_out):
-        w = jax.random.normal(k, (n_in, n_out)) * jnp.sqrt(2.0 / n_in)
-        return {"w": w, "b": jnp.zeros((n_out,))}
+        kw, kb = jax.random.split(k)
+        w = jax.random.normal(kw, (n_in, n_out)) * jnp.sqrt(2.0 / n_in)
+        # nonzero biases (torch Linear default): with zero biases the
+        # decoder maps z=0 to an exactly-zero 6d rotation — a degenerate
+        # Gram-Schmidt input with pathological gradients
+        bound = 1.0 / jnp.sqrt(n_in)
+        b = jax.random.uniform(kb, (n_out,), minval=-bound, maxval=bound)
+        return {"w": w, "b": b}
 
     def bn(n):
         return {"scale": jnp.ones((n,)), "bias": jnp.zeros((n,)),

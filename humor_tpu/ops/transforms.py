@@ -33,10 +33,11 @@ _EPS = 1e-8
 _HI = jax.lax.Precision.HIGHEST
 
 
-def _norm_safe(x: jnp.ndarray, axis: int = -1, keepdims: bool = True) -> jnp.ndarray:
-    """L2 norm with a grad-safe guard at 0 (returns sqrt(eps) there)."""
+def _norm_safe(x: jnp.ndarray, axis: int = -1, keepdims: bool = True,
+               eps: float = _EPS) -> jnp.ndarray:
+    """L2 norm with a grad-safe guard at 0 (returns eps there)."""
     sq = jnp.sum(x * x, axis=axis, keepdims=keepdims)
-    return jnp.sqrt(jnp.maximum(sq, _EPS * _EPS))
+    return jnp.sqrt(jnp.maximum(sq, eps * eps))
 
 
 def aa_to_rotmat(aa: jnp.ndarray) -> jnp.ndarray:
@@ -73,9 +74,12 @@ def rot6d_to_rotmat(x: jnp.ndarray) -> jnp.ndarray:
     batch_shape = x.shape[:-1]
     x = x.reshape(-1, 3, 2)
     a1, a2 = x[..., 0], x[..., 1]
-    b1 = a1 / _norm_safe(a1)
+    # eps=1e-4: a degenerate (near-zero / near-parallel) 6d input yields a
+    # non-rotation either way, but a tiny eps turns its pullback into
+    # ~1/eps^2-scale gradients that destroy L-BFGS line searches
+    b1 = a1 / _norm_safe(a1, eps=1e-4)
     a2_proj = a2 - jnp.sum(b1 * a2, axis=-1, keepdims=True) * b1
-    b2 = a2_proj / _norm_safe(a2_proj)
+    b2 = a2_proj / _norm_safe(a2_proj, eps=1e-4)
     b3 = jnp.cross(b1, b2)
     R = jnp.stack([b1, b2, b3], axis=-1)
     return R.reshape(*batch_shape, 3, 3)
@@ -139,19 +143,28 @@ def rotmat_to_quat(R: jnp.ndarray) -> jnp.ndarray:
 
 
 def quat_to_aa(q: jnp.ndarray) -> jnp.ndarray:
-    """Quaternion (..., 4) wxyz -> angle-axis (..., 3). Grad-safe at identity."""
+    """Quaternion (..., 4) wxyz -> angle-axis (..., 3).
+
+    Grad-safe: the sign flip picks the shortest arc (w >= 0), and near
+    the identity the angle/sin ratio switches to its Taylor limit with a
+    float32-sized threshold (sin^2 < 1e-4, i.e. theta < ~0.02 rad; the
+    ratio error there is O(theta^2/6) ~ 7e-5 relative). A tiny threshold
+    (the previous 1e-14) routes float32 near-identity rotations through
+    angle/sin whose autodiff amplifies roundoff to ~1e9-scale gradients.
+    """
+    # q and -q are the same rotation: flip so w >= 0 (shortest arc)
+    flip = jnp.where(q[..., 0:1] < 0.0, -1.0, 1.0)
+    q = q * flip
     qw, qvec = q[..., 0], q[..., 1:]
     sin_sq = jnp.sum(qvec * qvec, axis=-1)
-    is_small = sin_sq < 1e-14
-    # double-where: keep sqrt away from 0 on the branch we won't take
+    is_small = sin_sq < 1e-4
+    # double-where: keep each branch's intermediate away from its
+    # singularity on the side we won't take
     sin_safe = jnp.sqrt(jnp.where(is_small, 1.0, sin_sq))
-    # angle in [0, 2pi); mirror to shortest arc when cos < 0
-    two_theta = 2.0 * jnp.where(
-        qw < 0.0,
-        jnp.arctan2(-sin_safe, -qw),
-        jnp.arctan2(sin_safe, qw),
-    )
-    k = jnp.where(is_small, 2.0 * jnp.ones_like(sin_sq), two_theta / sin_safe)
+    angle = 2.0 * jnp.arctan2(sin_safe, qw)
+    k_large = angle / sin_safe
+    k_small = 2.0 / jnp.maximum(qw, 1e-6)
+    k = jnp.where(is_small, k_small, k_large)
     return qvec * k[..., None]
 
 

@@ -109,3 +109,32 @@ def test_pipeline_to_train_step(dataset):
     sup_step, _, _ = TS.make_train_steps(cfg, LossConfig(), opt, None)
     state, stats = sup_step(state, batch, jax.random.PRNGKey(1), 0)
     assert np.isfinite(float(stats["total_loss"]))
+
+
+def test_split_files_modes():
+    from humor_tpu.data.dataset import split_files
+
+    paths = [f"/root/amass/{ds}/{subj}/seq{i}_100_frames_30_fps.npz"
+             for ds in ("CMU", "KIT", "ACCAD")
+             for subj in ("01", "02")
+             for i in range(3)]
+    # subject split: all of one subject's files land in one partition
+    sp = split_files(paths, "subject", seed=0)
+    assert sorted(sp["train"] + sp["val"] + sp["test"]) == sorted(paths)
+    import os as _os
+    for part in sp.values():
+        subs = {_os.path.dirname(p) for p in part}
+        for other_name, other in sp.items():
+            if other is part:
+                continue
+            assert not subs & {_os.path.dirname(p) for p in other}
+    # dataset split keeps whole datasets together
+    sd = split_files(paths, "dataset", seed=0)
+    for part in sd.values():
+        dsets = {p.split("/")[3] for p in part}
+        others = [q for name, v in sd.items() if v is not part
+                  for q in v]
+        assert not dsets & {q.split("/")[3] for q in others}
+    # single: everything everywhere
+    ss = split_files(paths, "single")
+    assert ss["train"] == paths and ss["test"] == paths
