@@ -72,9 +72,7 @@ def run_lbfgs(
     vg = jax.value_and_grad(value_fn)
 
     def step(carry, _):
-        params, opt_state, best_params, best_val = carry
-        value, grads = vg(params, *args)
-        grads = _masked(grads, mask)
+        params, opt_state, best_params, best_val, value, grads = carry
         # best-iterate tracking: the returned params are always the best
         # point actually evaluated
         better = jnp.isfinite(value) & (value < best_val)
@@ -92,25 +90,33 @@ def run_lbfgs(
 
         # monotone safeguard: a failed zoom line search can accept an
         # ascent step, after which the corrupted curvature memory sends
-        # L-BFGS off to divergence. Evaluate the step; if it is not a
-        # (near-)descent step, reject it AND restart the optimizer memory
-        # from the current point (torch's closure-based LBFGS implicitly
-        # re-anchors the same way when users re-create the optimizer).
-        new_value = value_fn(new_params, *args)
+        # L-BFGS off to divergence. Evaluate the step (the value+grad at
+        # the new point doubles as the NEXT iteration's evaluation, so
+        # the safeguard costs nothing); if it is not a (near-)descent
+        # step, reject it AND restart the optimizer memory from the
+        # current point.
+        new_value, new_grads = vg(new_params, *args)
+        new_grads = _masked(new_grads, mask)
         tol = 1e-4 * jnp.abs(value) + 1e-8
         ok = jnp.isfinite(new_value) & (new_value <= value + tol) \
             & jnp.isfinite(optax.global_norm(updates))
-        new_params = jax.tree_util.tree_map(
-            lambda n, o: jnp.where(ok, n, o), new_params, params)
+
+        sel = lambda n, o: jnp.where(ok, n, o)
+        new_params = jax.tree_util.tree_map(sel, new_params, params)
         fresh_state = opt.init(params)
         new_opt_state = jax.tree_util.tree_map(
             lambda a, b: jnp.where(ok, a, b) if hasattr(a, "dtype")
             else a, new_opt_state, fresh_state)
-        return (new_params, new_opt_state, best_params, best_val), value
+        new_value = jnp.where(ok, new_value, value)
+        new_grads = jax.tree_util.tree_map(sel, new_grads, grads)
+        return (new_params, new_opt_state, best_params, best_val,
+                new_value, new_grads), value
 
+    value0, grads0 = vg(init_params, *args)
+    grads0 = _masked(grads0, mask)
     init_carry = (init_params, opt.init(init_params), init_params,
-                  jnp.asarray(jnp.inf))
-    (params, _, best_params, best_val), losses = jax.lax.scan(
+                  jnp.asarray(jnp.inf), value0, grads0)
+    (params, _, best_params, best_val, _, _), losses = jax.lax.scan(
         step, init_carry, None, length=num_iters)
 
     # the scan's best-tracking lags one evaluation behind: fold in the
