@@ -110,3 +110,26 @@ def test_strip_prefix():
     sd = {"module.encoder.net.0.weight": 1, "encoder.net.0.bias": 2}
     out = strip_prefix(sd)
     assert set(out) == {"encoder.net.0.weight", "encoder.net.0.bias"}
+
+
+def test_pth_file_round_trip(tmp_path, torch_model_and_params):
+    """Reference .pth training-checkpoint format -> load_humor_checkpoint."""
+    from humor_tpu.utils.import_torch import load_humor_checkpoint
+
+    cfg, model, params = torch_model_and_params
+    path = str(tmp_path / "best_model.pth")
+    # reference save format (utils/torch.py:29-50): dict with
+    # model_state_dict + optimizer state + bookkeeping
+    torch.save({
+        "model_state_dict": model.state_dict(),
+        "optim_state_dict": {},
+        "epoch": 17,
+        "min_train_loss": 0.5,
+        "min_val_loss": 0.6,
+    }, path)
+    loaded = load_humor_checkpoint(path)
+    for net in ("encoder", "decoder", "prior"):
+        assert len(loaded[net]) == len(params[net])
+        for la, lb in zip(loaded[net], params[net]):
+            np.testing.assert_array_equal(np.asarray(la["w"]),
+                                          np.asarray(lb["w"]))
