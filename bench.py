@@ -22,6 +22,16 @@ os.environ.setdefault("XLA_FLAGS", "")
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _enable_compile_cache():
+    import jax
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+
 def bench_jax_rollout(batch=16, steps=60, iters=5):
     import jax
     import numpy as np
@@ -98,6 +108,7 @@ def bench_torch_reference_style(batch=16, steps=60, iters=2):
 
 
 def main():
+    _enable_compile_cache()
     try:
         from benchmarks.bench_tto import bench_ours, bench_reference_style
 

@@ -88,6 +88,15 @@ def main(argv=None) -> Dict:
             path = os.path.join(cfg.out, f"sample_{s:02d}.npz")
             np.savez(path, **{k: np.asarray(v) for k, v in out.items()})
             print(f"[test] wrote {path} ({steps} frames)")
+            if cfg.viz:
+                from humor_tpu.viz.utils import viz_smpl_seq
+
+                joints = np.asarray(out["joints"]).reshape(
+                    -1, steps, 22, 3)[0]
+                res = viz_smpl_seq(joints,
+                                   os.path.join(cfg.out,
+                                                f"sample_{s:02d}_viz"))
+                print(f"[test] rendered {res.get('video')}")
         results["sampling"] = {"steps": steps,
                                "samples": cfg.eval_num_samples}
 

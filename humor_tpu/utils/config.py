@@ -145,6 +145,7 @@ class TestCLIConfig:
     eval_test: bool = False
     eval_sampling: bool = False
     qual: bool = False  # HuMoR-Qual: SMPL-joint feedback during rollout
+    viz: bool = False   # render skeleton gifs of sampling/recon outputs
     eval_recon: bool = False
     eval_sampling_len: float = 10.0  # seconds
     eval_num_samples: int = 1
