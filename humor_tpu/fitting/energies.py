@@ -34,6 +34,13 @@ _HI = jax.lax.Precision.HIGHEST
 
 CONTACT_HEIGHT_THRESH = 0.08  # reference fitting_loss.py:18
 
+# Observation keys whose axis 1 is time (sliceable to a stage-3
+# sub-window). Everything else (floor_plane, cam_f, cam_center,
+# seq_interval, prev_batch_overlap_res, ...) is per-window metadata and
+# must pass through unsliced regardless of its shape.
+TIME_INDEXED_OBS_KEYS = frozenset(
+    {"joints3d", "verts3d", "points3d", "joints2d"})
+
 
 @dataclass(frozen=True)
 class StageWeights:
@@ -109,9 +116,13 @@ def points3d_loss(cfg: EnergyConfig, obs: jnp.ndarray, pred: jnp.ndarray
     sqr_dist, _ = chamfer.nn_distance(o, p)      # (B*T, N)
     sqr_dist = sqr_dist.reshape(B, T * N)
     dist = jnp.sqrt(jnp.maximum(sqr_dist, 1e-12))
+    flat_mask = mask.reshape(B, T * N)
+    # the mask keeps the ~1e6 fake residuals of padded points out of the
+    # bisquare MAD scale (else padding inflates the scale / captures the
+    # median and outlier rejection silently turns off)
     weighted, _ = rob.apply_robust_weighting(
-        dist, cfg.robust_loss, cfg.robust_tuning_const)
-    weighted = weighted * mask.reshape(B, T * N)
+        dist, cfg.robust_loss, cfg.robust_tuning_const, mask=flat_mask)
+    weighted = weighted * flat_mask
     return 0.5 * jnp.sum(weighted)
 
 
@@ -280,20 +291,27 @@ def xbatch_overlap_loss(verts3d_first: jnp.ndarray,   # (T, V, 3) window 0
     window of the previous batch (reference :159-179). Sequence lengths
     may differ (stage-3 15-frame sub-window) — the mask handles it."""
     Tp, T = prev_verts3d.shape[0], verts3d_first.shape[0]
-    # align prev[-overlap:] with cur[:overlap]; cap overlap at T
-    ov = jnp.minimum(overlap, T)
     t_idx = jnp.arange(T)
-    # gather prev[Tp - overlap + i] for i < ov
+    # cur frame i is the same global instant as prev frame Tp-overlap+i;
+    # that unclamped correspondence is kept, and the mask restricts to
+    # the rows where it is in range: i < min(overlap, T) (upper) AND
+    # i >= overlap - Tp (lower — relevant when overlap exceeds the prev
+    # window length, e.g. a short stage-3 sub-window cache). The clip
+    # below therefore never lands on a masked-in row.
+    ov = jnp.minimum(overlap, T)
     gather_idx = jnp.clip(Tp - overlap + t_idx, 0, Tp - 1)
     aligned_prev = prev_verts3d[gather_idx]
-    m = (t_idx < ov).astype(verts3d_first.dtype)
+    valid = jnp.logical_and(t_idx < ov, t_idx >= overlap - Tp)
+    m = valid.astype(verts3d_first.dtype)
     m = m.reshape((T,) + (1,) * (verts3d_first.ndim - 1))
     pos = 0.5 * jnp.sum(jnp.square((aligned_prev - verts3d_first) * m))
     vel = jnp.zeros((), verts3d_first.dtype)
     if T > 1:
         dprev = aligned_prev[1:] - aligned_prev[:-1]
         dcur = verts3d_first[1:] - verts3d_first[:-1]
-        mv = (jnp.arange(T - 1) < ov - 1).astype(verts3d_first.dtype)
+        v_idx = jnp.arange(T - 1)
+        mv = jnp.logical_and(v_idx < ov - 1, v_idx >= overlap - Tp
+                             ).astype(verts3d_first.dtype)
         mv = mv.reshape((T - 1,) + (1,) * (verts3d_first.ndim - 1))
         vel = 0.5 * jnp.sum(jnp.square((dprev - dcur) * mv))
     return pos + vel

@@ -296,7 +296,10 @@ def rollout(
     into the next step come from an SMPL forward on the predicted params
     instead of the decoder's joint output (reference use_smpl_joint_inputs,
     humor_model.py:210-228, 894-940 — there a per-step gender-split torch
-    pass; here one where-select LBS inside the scan).
+    pass; here one where-select LBS inside the scan). As in the reference
+    (:894 "output is the actual regressed joints, but input to next step
+    can use smpl joints"), the returned world trajectory keeps the
+    decoder's regressed joints — only the feedback path is replaced.
     """
     if cfg.steps_in != 1:
         raise NotImplementedError("rollout currently supports steps_in=1")
@@ -342,9 +345,12 @@ def rollout(
             z = rsample(step_key, pm, pv)
         pred = decode(cfg, params, z, past_in)
 
+        # HuMoR-Qual: the fed-back joints come from SMPL; the *output*
+        # keeps the regressed joints (reference :894-940)
+        fed = pred
         if smpl_joint_fn is not None and "joints" in pred:
-            pred = dict(pred)
-            pred["joints"] = smpl_joint_fn(
+            fed = dict(pred)
+            fed["joints"] = smpl_joint_fn(
                 pred["trans"], pred["root_orient"], pred["pose_body"])
 
         # world-frame output under the running global transform
@@ -353,8 +359,8 @@ def rollout(
 
         # canonicalize prediction -> next local input state (input components
         # only: contacts are auxiliary outputs, not fed back)
-        step_frame = _heading_frame(cfg, pred, t2j)
-        next_local = apply_world2local(step_frame, pred)
+        step_frame = _heading_frame(cfg, fed, t2j)
+        next_local = apply_world2local(step_frame, fed)
         next_local = {k: next_local[k] for k in cfg.input_spec.names}
 
         # update global world->local composition (reference :990-992)
@@ -451,6 +457,7 @@ def scheduled_sampling(
     x_t_seq: jnp.ndarray,      # (B, T, D_in) GT canonical outputs
     init_state: Dict[str, jnp.ndarray],  # typed (B, D), matrix rots
     use_gt_p: float,
+    smpl_joint_fn=None,
 ) -> SchedSampOutput:
     """Teacher-forcing curriculum: at each step, use the GT input with
     probability `use_gt_p`, else the model's own previous prediction,
@@ -459,6 +466,11 @@ def scheduled_sampling(
 
     One lax.scan; the per-step Bernoulli draw is shared across the batch
     like the reference's single np.random draw per step.
+
+    `smpl_joint_fn` (same signature as rollout's) enables HuMoR-Qual
+    TRAINING: the fed-back joints come from an SMPL forward on the
+    predicted params (reference :536-592); the loss still sees the
+    regressed joints.
     """
     if cfg.steps_in != 1:
         raise NotImplementedError("scheduled_sampling supports steps_in=1")
@@ -495,8 +507,13 @@ def scheduled_sampling(
         pred = out.pred
 
         fed_back = pred
+        if smpl_joint_fn is not None and "joints" in pred:
+            fed_back = dict(pred)
+            fed_back["joints"] = smpl_joint_fn(
+                pred["trans"], pred["root_orient"], pred["pose_body"])
         if cfg.detach_sched_samp:
-            fed_back = jax.tree_util.tree_map(jax.lax.stop_gradient, pred)
+            fed_back = jax.tree_util.tree_map(jax.lax.stop_gradient,
+                                              fed_back)
 
         step_frame = _heading_frame(cfg, fed_back, t2j)
         next_local = apply_world2local(step_frame, fed_back)

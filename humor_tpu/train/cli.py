@@ -126,14 +126,17 @@ def main(argv=None) -> Dict[str, float]:
         sched_samp_start=cfg.sched_samp_start,
         sched_samp_end=cfg.sched_samp_end, val_every=cfg.val_every,
         save_every=cfg.save_every, print_every=cfg.print_every,
-        resume_ckpt=cfg.ckpt or None, load_optim=not cfg.no_load_optim)
+        resume_ckpt=cfg.ckpt or None, load_optim=not cfg.no_load_optim,
+        use_smpl_joint_inputs=cfg.model_use_smpl_joint_inputs)
 
     train_ds = build_dataset(cfg, cfg.train_datasets)
-    val_ds = (build_dataset(cfg, cfg.val_datasets, fallback_seed=1)
-              if cfg.val_datasets or True else None)
+    # validation always runs (reference train_humor.py:248-299);
+    # cfg.val_datasets narrows which datasets feed it (empty = all)
+    val_ds = build_dataset(cfg, cfg.val_datasets, fallback_seed=1)
     window = cfg.sample_num_frames + 1
+    # HuMoR-Qual training needs the body models even with SMPL losses off
     smpl_models = load_body_models(cfg.smplh_root) \
-        if cfg.use_smpl_losses else None
+        if cfg.use_smpl_losses or cfg.model_use_smpl_joint_inputs else None
 
     trainer = Trainer(
         model_cfg, loss_cfg, run_cfg,

@@ -90,9 +90,17 @@ def supervised_loss_fn(cfg: H.HumorConfig, loss_cfg: LossConfig,
 
 
 def sched_samp_loss_fn(cfg: H.HumorConfig, loss_cfg: LossConfig,
-                       smpl_models: Optional[Dict]):
+                       smpl_models: Optional[Dict],
+                       use_smpl_joint_inputs: bool = False):
     """Loss for the scheduled-sampling phase: roll predictions forward with
-    probability (1 - use_gt_p) per step, supervise each local step."""
+    probability (1 - use_gt_p) per step, supervise each local step.
+
+    `use_smpl_joint_inputs` is the HuMoR-Qual TRAINING path (reference
+    humor_model.py:510-592, configs/train_humor_qual.cfg): the joints fed
+    back into the next step come from a gendered SMPL forward on the
+    predicted params (the loss still supervises the regressed joints)."""
+    if use_smpl_joint_inputs and smpl_models is None:
+        raise ValueError("use_smpl_joint_inputs requires smpl_models")
 
     def fn(params, batch, key, epoch, use_gt_p):
         data_in, data_out = batch["data_in"], batch["data_out"]
@@ -100,8 +108,13 @@ def sched_samp_loss_fn(cfg: H.HumorConfig, loss_cfg: LossConfig,
         x_past = H.state_to_input(cfg, data_in)   # (B, T, D_in)
         x_t = H.state_to_input(cfg, data_out)
         init_state = {k: v[:, 0] for k, v in data_in.items()}
+        joint_fn = None
+        if use_smpl_joint_inputs:
+            from humor_tpu.body_model.gendered import make_rollout_joint_fn
+            joint_fn = make_rollout_joint_fn(
+                smpl_models, batch["gender_ids"], batch["betas"])
         out = H.scheduled_sampling(cfg, params, key, x_past, x_t, init_state,
-                                   use_gt_p)
+                                   use_gt_p, smpl_joint_fn=joint_fn)
         flat_pred = {k: v.reshape(B * T, -1) for k, v in out.pred.items()}
         gt = {k: v.reshape(B * T, -1) for k, v in data_out.items()}
         post = tuple(v.reshape(B * T, -1) for v in out.posterior)
@@ -118,15 +131,18 @@ def sched_samp_loss_fn(cfg: H.HumorConfig, loss_cfg: LossConfig,
 def make_train_steps(cfg: H.HumorConfig, loss_cfg: LossConfig,
                      opt: optax.GradientTransformation,
                      smpl_models: Optional[Dict] = None,
-                     mesh=None, batch_axis: str = "dp"):
+                     mesh=None, batch_axis: str = "dp",
+                     use_smpl_joint_inputs: bool = False):
     """Build (supervised_step, sched_samp_step, eval_step), each jitted.
 
     With a mesh, batch pytrees get a leading-axis sharding constraint and
     params stay replicated — XLA turns the grad reduction into a psum over
-    ICI.
+    ICI. `use_smpl_joint_inputs` enables HuMoR-Qual training (SMPL-joint
+    feedback in the sched-samp phase).
     """
     sup_loss = supervised_loss_fn(cfg, loss_cfg, smpl_models)
-    ss_loss = sched_samp_loss_fn(cfg, loss_cfg, smpl_models)
+    ss_loss = sched_samp_loss_fn(cfg, loss_cfg, smpl_models,
+                                 use_smpl_joint_inputs=use_smpl_joint_inputs)
 
     def constrain(batch):
         if mesh is None:

@@ -44,6 +44,9 @@ class TrainRunConfig:
     use_mesh: bool = True
     resume_ckpt: Optional[str] = None
     load_optim: bool = True
+    # HuMoR-Qual: feed SMPL-forward joints back during scheduled sampling
+    # (reference model_use_smpl_joint_inputs, utils/config.py:201-202)
+    use_smpl_joint_inputs: bool = False
 
 
 class Trainer:
@@ -92,7 +95,8 @@ class Trainer:
                        f"{self.start_epoch}")
 
         self.sup_step, self.ss_step, self.eval_step = TS.make_train_steps(
-            model_cfg, loss_cfg, self.opt, smpl_models, mesh=self.mesh)
+            model_cfg, loss_cfg, self.opt, smpl_models, mesh=self.mesh,
+            use_smpl_joint_inputs=run_cfg.use_smpl_joint_inputs)
         self.key = jax.random.PRNGKey(seed + 1)
         n_params = H.param_count(self.state.params)
         Logger.log(f"model params: {n_params/1e6:.2f}M; devices: "

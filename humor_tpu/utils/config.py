@@ -106,6 +106,9 @@ class TrainCLIConfig:
     model_data_config: str = "smpl+joints+contacts"
     conditional_prior: bool = True
     output_delta: bool = True
+    # HuMoR-Qual: SMPL-forward joints fed back during scheduled sampling
+    # (reference --model-use-smpl-joint-inputs, utils/config.py:201-202)
+    model_use_smpl_joint_inputs: bool = False
     # loss
     kl_loss: float = 0.0004
     kl_loss_anneal_start: int = 0
@@ -161,6 +164,10 @@ class FitCLIConfig:
     batch_size: int = 1
     seq_len: int = 60
     overlap_len: int = 10
+    # RGB pipeline extras (reference fitting/config.py:51,56-57)
+    rgb_intrinsics: str = ""   # json [[fx,0,cx],[0,fy,cy],[0,0,1]]
+    mask_joints2d: bool = False
+    mask_path: str = ""        # person-mask pngs for joint occlusion
     # observation modalities
     amass_use_joints: bool = True
     amass_use_verts: bool = False

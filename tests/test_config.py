@@ -48,6 +48,43 @@ def test_repo_presets_parse():
     assert t.eval_sampling and t.eval_sampling_len == 10.0
 
 
+def test_every_shipped_preset_parses():
+    """Every .cfg under configs/ parses into its CLI config class and its
+    derived pipeline objects construct (reference ships 17 presets +
+    intrinsics json under /root/reference/configs/)."""
+    import glob
+    import json
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs")
+    cls_for = {"train": TrainCLIConfig, "test": TestCLIConfig,
+               "fit": FitCLIConfig}
+    presets = sorted(glob.glob(os.path.join(root, "*.cfg")))
+    assert len(presets) >= 14, presets
+    for path in presets:
+        kind = os.path.basename(path).split("_")[0]
+        cfg = parse_into(cls_for[kind], [f"@{path}"])
+        if kind == "fit":
+            w = cfg.stage_weights()
+            assert len(w) == 3
+            assert any(getattr(w[0], f) > 0
+                       for f in ("joints3d", "verts3d", "points3d",
+                                 "joints2d")), path
+        elif kind == "train":
+            assert cfg.epochs > 0 and cfg.batch_size > 0
+        else:
+            assert cfg.eval_test or cfg.eval_sampling or cfg.eval_recon, path
+
+    # qual presets carry the SMPL-joint-feedback switch
+    q = parse_into(TrainCLIConfig, [f"@{root}/train_humor_qual.cfg"])
+    assert q.model_use_smpl_joint_inputs
+    tq = parse_into(TestCLIConfig, [f"@{root}/test_humor_qual.cfg"])
+    assert tq.eval_test and tq.qual
+
+    with open(os.path.join(root, "intrinsics_default.json")) as f:
+        K = json.load(f)
+    assert len(K) == 3 and len(K[0]) == 3 and K[2][2] == 1.0
+
+
 def test_stage_weights_mapping():
     fit = parse_into(FitCLIConfig,
                      ["--joint3d-weight", "1", "2", "3",

@@ -153,6 +153,40 @@ def test_apply_robust_weighting_no_weight_grad():
                                rtol=1e-4)
 
 
+def test_masked_median_matches_dense():
+    rng = np.random.RandomState(7)
+    x = rng.rand(3, 40).astype(np.float32)
+    mask = rng.rand(3, 40) > 0.4
+    mask[0] = True  # one fully-visible row
+    got = np.asarray(rob.masked_median(jnp.asarray(x), jnp.asarray(mask)))
+    for i in range(3):
+        np.testing.assert_allclose(got[i, 0], np.median(x[i, mask[i]]),
+                                   rtol=1e-6)
+
+
+def test_robust_scale_ignores_padding():
+    """Padded (masked-out) 1e6-scale fake residuals must not perturb the
+    MAD scale (ADVICE r1: padding was inflating/capturing the median and
+    silently disabling outlier rejection)."""
+    rng = np.random.RandomState(3)
+    real = np.concatenate([rng.rand(20).astype(np.float32) * 0.2, [50.0]])
+    padded = np.concatenate([real, np.full(30, 1e6, np.float32)])
+    mask = np.concatenate([np.ones(21, bool), np.zeros(30, bool)])
+
+    w_clean = rob.bisquare_robust_weights(jnp.asarray(real[None]))
+    w_mask = rob.bisquare_robust_weights(jnp.asarray(padded[None]),
+                                         mask=jnp.asarray(mask[None]))
+    # same weights on the real residuals as the padding-free computation
+    np.testing.assert_allclose(np.asarray(w_mask[0, :21]),
+                               np.asarray(w_clean[0]), rtol=1e-5)
+    assert float(w_mask[0, 20]) == 0.0  # outlier still rejected
+    # without the mask the padding majority captures the median and the
+    # MAD collapses to 0 -> every REAL residual is wrongly rejected
+    w_bad = rob.bisquare_robust_weights(jnp.asarray(padded[None]))
+    assert float(np.max(np.asarray(w_bad[0, :20]))) == 0.0
+    assert float(np.min(np.asarray(w_mask[0, :20]))) > 0.0
+
+
 def test_gmof_saturates():
     r = jnp.asarray([0.0, 1.0, 100.0])
     out = rob.gmof(r, sigma=2.0)
