@@ -85,14 +85,20 @@ def overlay_skeleton_frames(
 def viz_stitched_result(stitched_npz: str, out_dir: str,
                         body=None, cam_f=(1060.5, 1060.4),
                         cam_center=(960.0, 540.0),
-                        max_frames: int = 120) -> List[str]:
-    """Load a stitched fitting result and render skeleton overlays.
-    With a body model, joints come from an SMPL forward; otherwise the
-    stored rollout joints are used."""
+                        max_frames: int = 120,
+                        img_paths: Optional[Sequence[str]] = None,
+                        mesh: bool = True) -> List[str]:
+    """Load a stitched fitting result and render it over the video frames.
+
+    With a body model the fitted MESH is rasterized (shaded, floor
+    checkerboard, contacts colored — reference viz_fitting_rgb.py:49-160)
+    in addition to skeleton overlays; without one, the stored rollout
+    joints give skeleton overlays only."""
     import jax.numpy as jnp
 
     data = dict(np.load(stitched_npz))
     T = min(data["trans"].shape[0], max_frames)
+    paths: List[str] = []
     if body is not None:
         from humor_tpu.fitting.optimizer import smpl_results
 
@@ -102,8 +108,29 @@ def viz_stitched_result(stitched_npz: str, out_dir: str,
             jnp.asarray(data["pose_body"][None, :T]),
             jnp.asarray(data["betas"][None]))
         joints = np.asarray(pred["joints3d"][0])
+        if mesh and body.faces is not None and "points3d" in pred:
+            from humor_tpu.viz.raster import render_mesh_over_frames
+
+            verts = np.asarray(pred["points3d"][0])  # (T, V, 3)
+            contact_verts = None
+            if "contacts" in data:
+                # per-joint contacts -> the verts each joint dominates
+                w = np.asarray(body.lbs_weights)       # (V, J)
+                cj = np.asarray(data["contacts"][:T])  # (T, J)
+                nj = min(cj.shape[1], w.shape[1])
+                contact_verts = (cj[:, :nj] @ w[:, :nj].T) > 0.5
+            floor = data.get("floor_plane")
+            if floor is not None:
+                floor = np.asarray(floor).reshape(-1, 4)[0]
+            paths += render_mesh_over_frames(
+                verts, np.asarray(body.faces.arr), cam_f, cam_center,
+                os.path.join(out_dir, "mesh"), img_paths=img_paths,
+                floor_plane=floor,
+                contact_verts=contact_verts)
     elif "joints3d_rollout" in data:
         joints = np.asarray(data["joints3d_rollout"][:T])
     else:
         raise ValueError("need a body model or stored rollout joints")
-    return overlay_skeleton_frames(joints, cam_f, cam_center, out_dir)
+    paths += overlay_skeleton_frames(joints, cam_f, cam_center, out_dir,
+                                     img_paths=img_paths)
+    return paths
