@@ -106,15 +106,23 @@ def subsample_points(pts: np.ndarray, max_pts: int,
 
 
 def fit_floor_ransac(points: np.ndarray, n_iters: int = 200,
-                     thresh: float = 0.05, seed: int = 0
-                     ) -> np.ndarray:
+                     thresh: float = 0.05, seed: int = 0,
+                     min_up: float = 0.7) -> np.ndarray:
     """RANSAC plane fit over scene points -> (a, b, c, d) with the normal
     flipped up in the camera frame (-y), replacing the reference's
     RANSACRegressor+DBSCAN pipeline (:360-427) with a direct plane
-    RANSAC."""
+    RANSAC.
+
+    `min_up` rejects candidate planes whose normal is not mostly
+    vertical (|n_y| < min_up): the reference's RANSACRegressor fits
+    y = f(x, z), which structurally cannot select a wall — this filter
+    reproduces that floor bias (without it, a dominant wall would win
+    the inlier vote). Among floor-ish candidates it then prefers the
+    LOWEST plane (largest camera-frame y) when inlier counts are close,
+    standing in for the reference's DBSCAN pick of the lowest height
+    cluster (prox_dataset.py:399-427)."""
     rng = np.random.RandomState(seed)
-    best_inliers = -1
-    best = np.asarray([0.0, -1.0, 0.0, 0.5])
+    candidates = []  # (inliers, height_y, plane)
     n = points.shape[0]
     for _ in range(n_iters):
         idx = rng.choice(n, 3, replace=False)
@@ -124,12 +132,28 @@ def fit_floor_ransac(points: np.ndarray, n_iters: int = 200,
         if norm < 1e-9:
             continue
         normal = normal / norm
+        if abs(normal[1]) < min_up:
+            continue  # wall/furniture side — the reference can't fit it
         d = float(normal @ p0)
         dist = np.abs(points @ normal - d)
         inliers = int((dist < thresh).sum())
-        if inliers > best_inliers:
-            best_inliers = inliers
-            best = np.concatenate([normal, [d]])
+        height = d / normal[1]  # plane height along +y (down = lower)
+        candidates.append((inliers, height, np.concatenate([normal, [d]])))
+    if not candidates:
+        return np.asarray([0.0, -1.0, 0.0, 0.5], np.float32)
+    max_inliers = max(c[0] for c in candidates)
+    # among comparably-supported planes, take the LOWEST one (tabletops
+    # and seats can out-vote the floor when furniture dominates a view)
+    strong = [c for c in candidates if c[0] >= 0.9 * max_inliers]
+    best = max(strong, key=lambda c: c[1])[2]
+    # least-squares refit on the consensus set (RANSACRegressor's final
+    # estimator step): y = a*x + c*z + d over the inliers
+    from humor_tpu.data.imapper import fit_floor_plane_from_points
+
+    dist = np.abs(points @ best[:3] - best[3])
+    inl = points[dist < thresh]
+    if inl.shape[0] >= 3:
+        return fit_floor_plane_from_points(inl)
     if best[1] > 0:  # normal must face up (camera -y)
         best = -best
     return best.astype(np.float32)

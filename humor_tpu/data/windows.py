@@ -77,6 +77,36 @@ def window_to_pairs(
     return data_in, data_out, global_out
 
 
+def window_to_pairs_multi(
+    world: Dict[str, jnp.ndarray], steps_in: int,
+) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:
+    """Multi-step-history training pairs (model steps_in = S > 1;
+    reference amass_discrete_dataset steps_in handling + humor_model.py
+    :104-176 past-window parameterization).
+
+    world: components (..., F, D), matrix rotations. Returns
+      data_in[k]  (..., T, S, D)  frames i..i+S-1 in frame i+S-1
+      data_out[k] (..., T, D)     frame  i+S      in frame i+S-1
+    with T = F - S.
+    """
+    t2j = window_trans2joint(world)
+    frames = step_frames(world, t2j)
+    S, F = steps_in, world["trans"].shape[-2]
+    T = F - S
+    anchor = FrameTransform(frames.rot[..., S - 1: F - 1, :, :],
+                            frames.trans[..., S - 1: F - 1, :],
+                            frames.trans2joint[..., S - 1: F - 1, :])
+    win = {k: jnp.stack([v[..., s: s + T, :] for s in range(S)], axis=-2)
+           for k, v in world.items()}          # (..., T, S, D)
+    nxt = {k: v[..., S:, :] for k, v in world.items()}
+    anchor_w = FrameTransform(anchor.rot[..., :, None, :, :],
+                              anchor.trans[..., :, None, :],
+                              anchor.trans2joint[..., :, None, :])
+    data_in = apply_world2local(anchor_w, win)
+    data_out = apply_world2local(anchor, nxt)
+    return data_in, data_out
+
+
 def window_to_global(world: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
     """All T+1 frames canonicalized into frame 0 (the `only_global` /
     AMASSFitDataset view, reference amass_discrete_dataset.py:350-426)."""

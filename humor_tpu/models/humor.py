@@ -58,6 +58,10 @@ class HumorConfig:
     output_delta: bool = True
     model_data_config: str = "smpl+joints+contacts"
     detach_sched_samp: bool = True
+    # optional low-precision matmul policy for the MLP stacks ("bfloat16"
+    # halves HBM weight traffic on TPU); None = full f32. Geometry,
+    # canonicalization, and LBS always stay f32.
+    compute_dtype: Optional[str] = None
 
     # --- derived static metadata ---
     @property
@@ -132,7 +136,9 @@ def param_count(params) -> int:
 def posterior(cfg: HumorConfig, params: Dict, past_in: jnp.ndarray,
               t_in: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """q(z | x_{t-1}, x_t): returns (mean, var)."""
-    h = mlp_apply(params["encoder"], jnp.concatenate([past_in, t_in], axis=-1))
+    h = mlp_apply(params["encoder"],
+                  jnp.concatenate([past_in, t_in], axis=-1),
+                  compute_dtype=cfg.compute_dtype)
     mean, logvar = jnp.split(h, 2, axis=-1)
     return mean, jnp.exp(logvar)
 
@@ -143,7 +149,8 @@ def prior(cfg: HumorConfig, params: Dict, past_in: jnp.ndarray
     if not cfg.conditional_prior:
         shape = past_in.shape[:-1] + (cfg.latent_size,)
         return jnp.zeros(shape, past_in.dtype), jnp.ones(shape, past_in.dtype)
-    h = mlp_apply(params["prior"], past_in)
+    h = mlp_apply(params["prior"], past_in,
+                  compute_dtype=cfg.compute_dtype)
     mean, logvar = jnp.split(h, 2, axis=-1)
     return mean, jnp.exp(logvar)
 
@@ -164,7 +171,8 @@ def decode(cfg: HumorConfig, params: Dict, z: jnp.ndarray,
     by split_output (:316): the delta composition happens here.
     """
     raw = mlp_apply(params["decoder"], jnp.concatenate([past_in, z], axis=-1),
-                    skip_dim=cfg.latent_size)
+                    skip_dim=cfg.latent_size,
+                    compute_dtype=cfg.compute_dtype)
     out_parts = cfg.out_spec.unpack(raw)
 
     # most recent input step, typed
@@ -247,6 +255,37 @@ def state_to_input(cfg: HumorConfig, state_mat: Dict[str, jnp.ndarray]
     return jnp.concatenate(parts, axis=-1)
 
 
+def state_to_input_window(cfg: HumorConfig,
+                          window: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    """Typed past window (components (..., S, D), matrix rots, S =
+    cfg.steps_in) -> flat frame-major network input (..., S*D_in),
+    matching the reference's packing at humor_model.py:997-1001 (concat
+    components per frame, then flatten frames)."""
+    flat = state_to_input(cfg, window)  # (..., S, D_in)
+    return flat.reshape(*flat.shape[:-2], -1)
+
+
+def _as_window(cfg: HumorConfig,
+               state: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    """Normalize an initial state to window layout (B, S, D): accepts
+    (B, D) when steps_in == 1 (the common call convention) or (B, S, D)."""
+    trans = state["trans"]
+    if trans.ndim == 2:
+        if cfg.steps_in != 1:
+            raise ValueError(
+                f"steps_in={cfg.steps_in} needs (B, {cfg.steps_in}, D) "
+                "initial states")
+        return {k: v[:, None] for k, v in state.items()}
+    return dict(state)
+
+
+def _expand_frame(frame: FrameTransform) -> FrameTransform:
+    """(B, ...) frame -> (B, 1, ...) so it broadcasts over a (B, S, D)
+    window when re-canonicalizing all past frames at once."""
+    return FrameTransform(frame.rot[:, None], frame.trans[:, None],
+                          frame.trans2joint[:, None])
+
+
 def _heading_frame(cfg: HumorConfig, pred: Dict[str, jnp.ndarray],
                    trans2joint: jnp.ndarray) -> FrameTransform:
     """Canonicalizing frame of a predicted (local-world) state."""
@@ -301,24 +340,26 @@ def rollout(
     can use smpl joints"), the returned world trajectory keeps the
     decoder's regressed joints — only the feedback path is replaced.
     """
-    if cfg.steps_in != 1:
-        raise NotImplementedError("rollout currently supports steps_in=1")
-    state0 = dict(init_state)
+    state0 = _as_window(cfg, init_state)  # components (B, S, D)
     B = state0["trans"].shape[0]
     dtype = state0["trans"].dtype
 
     if canonicalize_input:
-        init_frame = frame_from_state(state0)
-        local0 = apply_world2local(init_frame, state0)
+        # canonicalize the whole past window into the NEWEST frame's
+        # heading frame (reference :804-835; all steps_in frames share it)
+        init_frame = frame_from_state({k: v[:, -1]
+                                       for k, v in state0.items()})
+        local0 = apply_world2local(_expand_frame(init_frame), state0)
     else:
         init_frame = FrameTransform.identity((B,), dtype)
         local0 = state0
     local0 = {k: local0[k] for k in cfg.input_spec.names}
 
-    # trans2joint: constant for the whole rollout (reference :863-865)
+    # trans2joint: constant for the whole rollout (reference :863-865),
+    # from the newest past frame
     if cfg.need_trans2joint:
         t2j = jnp.concatenate(
-            [-local0["joints"][..., :2],
+            [-local0["joints"][:, -1, :2],
              jnp.zeros((B, 1), dtype)], axis=-1)
     else:
         t2j = jnp.zeros((B, 3), dtype)
@@ -332,10 +373,10 @@ def rollout(
     keys = jax.random.split(key, num_steps)
 
     def scan_step(carry, inp):
-        local_state, g_rot, g_trans = carry
+        local_window, g_rot, g_trans = carry   # components (B, S, D)
         step_key, z_in = inp
 
-        past_in = state_to_input(cfg, local_state)
+        past_in = state_to_input_window(cfg, local_window)
         pm, pv = prior(cfg, params, past_in)
         if z_seq is not None:
             z = z_in
@@ -357,11 +398,14 @@ def rollout(
         g_xform = FrameTransform(g_rot, g_trans, t2j)
         world = apply_world2local(g_xform, pred, invert=True)
 
-        # canonicalize prediction -> next local input state (input components
-        # only: contacts are auxiliary outputs, not fed back)
+        # slide the window (drop oldest, append fed-back prediction) and
+        # re-canonicalize ALL steps_in frames into the new frame (input
+        # components only: contacts are auxiliary outputs, not fed back)
         step_frame = _heading_frame(cfg, fed, t2j)
-        next_local = apply_world2local(step_frame, fed)
-        next_local = {k: next_local[k] for k in cfg.input_spec.names}
+        window = {k: jnp.concatenate([local_window[k][:, 1:],
+                                      fed[k][:, None]], axis=1)
+                  for k in cfg.input_spec.names}
+        next_local = apply_world2local(_expand_frame(step_frame), window)
 
         # update global world->local composition (reference :990-992)
         new_g_trans = jnp.concatenate(
@@ -403,10 +447,12 @@ def infer_global_seq(cfg: HumorConfig, params: Dict,
     (components (B, T, D), matrix rotations). Each step pair
     (x_t, x_{t+1}) is canonicalized into x_t's heading frame.
 
-    Equivalent of reference infer_global_seq (:1061) as one scan over time.
+    Equivalent of reference infer_global_seq (:1061) as one scan over
+    time. With steps_in = S > 1, each transition's past is the S-frame
+    window ending at t, canonicalized into frame t's heading frame, and
+    the output covers the T - S transitions t = S-1 .. T-2.
     """
-    if cfg.steps_in != 1:
-        raise NotImplementedError("infer_global_seq supports steps_in=1")
+    S = cfg.steps_in
     B, T = global_seq["trans"].shape[:2]
     dtype = global_seq["trans"].dtype
 
@@ -418,15 +464,23 @@ def infer_global_seq(cfg: HumorConfig, params: Dict,
         t2j = jnp.zeros((B, 3), dtype)
 
     names = list(cfg.input_spec.names)
-    pairs_past = {k: jnp.swapaxes(global_seq[k][:, :-1], 0, 1) for k in names}
-    pairs_next = {k: jnp.swapaxes(global_seq[k][:, 1:], 0, 1) for k in names}
+    n_pairs = T - S
+    # past window [:, i, s] = frame i+s; next [:, i] = frame i+S
+    pairs_past = {
+        k: jnp.swapaxes(jnp.stack(
+            [global_seq[k][:, s: s + n_pairs] for s in range(S)], axis=2),
+            0, 1)
+        for k in names}  # (n_pairs, B, S, D)
+    pairs_next = {k: jnp.swapaxes(global_seq[k][:, S:], 0, 1)
+                  for k in names}
 
     def scan_step(_, inp):
         past_w, next_w = inp
-        frame = frame_from_state(past_w, trans2joint=t2j)
-        past_l = apply_world2local(frame, past_w)
+        frame = frame_from_state({k: v[:, -1] for k, v in past_w.items()},
+                                 trans2joint=t2j)
+        past_l = apply_world2local(_expand_frame(frame), past_w)
         next_l = apply_world2local(frame, next_w)
-        past_in = state_to_input(cfg, past_l)
+        past_in = state_to_input_window(cfg, past_l)
         t_in = state_to_input(cfg, next_l)
         qm, qv = posterior(cfg, params, past_in, t_in)
         pm, pv = prior(cfg, params, past_in)
@@ -471,15 +525,17 @@ def scheduled_sampling(
     TRAINING: the fed-back joints come from an SMPL forward on the
     predicted params (reference :536-592); the loss still sees the
     regressed joints.
+
+    With steps_in = S > 1, x_past_seq is (B, T, S*D_in) (frame-major
+    windows) and init_state components are (B, S, D).
     """
-    if cfg.steps_in != 1:
-        raise NotImplementedError("scheduled_sampling supports steps_in=1")
+    init_state = _as_window(cfg, init_state)
     B, T, _ = x_past_seq.shape
     dtype = x_past_seq.dtype
 
     if cfg.need_trans2joint:
         t2j = jnp.concatenate(
-            [-init_state["joints"][..., :2], jnp.zeros((B, 1), dtype)],
+            [-init_state["joints"][:, -1, :2], jnp.zeros((B, 1), dtype)],
             axis=-1)
     else:
         t2j = jnp.zeros((B, 3), dtype)
@@ -497,10 +553,10 @@ def scheduled_sampling(
               if k in cfg.input_spec.names}
 
     def scan_step(carry, inp):
-        pred_local_input = carry  # typed dict (B, D) — model's own canonical input
+        local_window = carry  # typed dict (B, S, D) — own canonical input
         step_key, gt_past, gt_t, take_gt = inp
 
-        own_past = state_to_input(cfg, pred_local_input)
+        own_past = state_to_input_window(cfg, local_window)
         past_in = jnp.where(take_gt, gt_past, own_past)
 
         out = single_step(cfg, params, step_key, past_in, gt_t)
@@ -515,9 +571,12 @@ def scheduled_sampling(
             fed_back = jax.tree_util.tree_map(jax.lax.stop_gradient,
                                               fed_back)
 
+        # slide the window + re-canonicalize all steps_in frames
         step_frame = _heading_frame(cfg, fed_back, t2j)
-        next_local = apply_world2local(step_frame, fed_back)
-        next_local = {k: next_local[k] for k in cfg.input_spec.names}
+        window = {k: jnp.concatenate([local_window[k][:, 1:],
+                                      fed_back[k][:, None]], axis=1)
+                  for k in cfg.input_spec.names}
+        next_local = apply_world2local(_expand_frame(step_frame), window)
 
         ys = (pred, out.posterior[0], out.posterior[1],
               out.prior[0], out.prior[1])

@@ -71,9 +71,16 @@ def make_batch_fn(dataset, cfg, window_frames: int, steps: int, seed: int):
     import jax
     import jax.numpy as jnp
 
-    from humor_tpu.data.windows import window_to_pairs
+    from functools import partial
 
-    to_pairs = jax.jit(window_to_pairs)
+    from humor_tpu.data.windows import window_to_pairs, window_to_pairs_multi
+
+    steps_in = getattr(cfg, "model_steps_in", 1)
+    if steps_in == 1:
+        to_pairs = jax.jit(window_to_pairs)
+    else:
+        multi = jax.jit(partial(window_to_pairs_multi, steps_in=steps_in))
+        to_pairs = lambda w: multi(w) + (None,)
     keep = ("trans", "trans_vel", "root_orient", "root_orient_vel",
             "pose_body", "joints", "joints_vel", "contacts")
 
@@ -108,7 +115,8 @@ def main(argv=None) -> Dict[str, float]:
         out_rot_rep=cfg.out_rot_rep,
         model_data_config=cfg.model_data_config,
         conditional_prior=cfg.conditional_prior,
-        output_delta=cfg.output_delta)
+        output_delta=cfg.output_delta,
+        steps_in=cfg.model_steps_in)
     loss_cfg = LossConfig(
         kl_loss=cfg.kl_loss,
         kl_loss_anneal_start=cfg.kl_loss_anneal_start,
@@ -133,7 +141,8 @@ def main(argv=None) -> Dict[str, float]:
     # validation always runs (reference train_humor.py:248-299);
     # cfg.val_datasets narrows which datasets feed it (empty = all)
     val_ds = build_dataset(cfg, cfg.val_datasets, fallback_seed=1)
-    window = cfg.sample_num_frames + 1
+    # need sample_num_frames transitions + steps_in past frames
+    window = cfg.sample_num_frames + cfg.model_steps_in
     # HuMoR-Qual training needs the body models even with SMPL losses off
     smpl_models = load_body_models(cfg.smplh_root) \
         if cfg.use_smpl_losses or cfg.model_use_smpl_joint_inputs else None

@@ -63,12 +63,19 @@ def init_train_state(cfg: H.HumorConfig, opt: optax.GradientTransformation,
 
 
 def _flatten_supervised(cfg: H.HumorConfig, batch: Dict) -> Tuple:
-    """(B, T, D) typed dicts -> flat (B*T, ...) network inputs + gt."""
+    """(B, T, D) typed dicts -> flat (B*T, ...) network inputs + gt.
+    With steps_in = S > 1, data_in components are (B, T, S, D) windows
+    (data.windows.window_to_pairs_multi layout)."""
     data_in, data_out = batch["data_in"], batch["data_out"]
     B, T = data_in["trans"].shape[:2]
-    flat_in = {k: v.reshape(B * T, -1) for k, v in data_in.items()}
     flat_out = {k: v.reshape(B * T, -1) for k, v in data_out.items()}
-    past = H.state_to_input(cfg, flat_in)
+    if cfg.steps_in == 1:
+        flat_in = {k: v.reshape(B * T, -1) for k, v in data_in.items()}
+        past = H.state_to_input(cfg, flat_in)
+    else:
+        S = cfg.steps_in
+        flat_in = {k: v.reshape(B * T, S, -1) for k, v in data_in.items()}
+        past = H.state_to_input_window(cfg, flat_in)
     t_in = H.state_to_input(cfg, flat_out)
     gender = jnp.repeat(batch["gender_ids"], T, axis=0)
     betas = jnp.repeat(batch["betas"], T, axis=0)
@@ -105,9 +112,13 @@ def sched_samp_loss_fn(cfg: H.HumorConfig, loss_cfg: LossConfig,
     def fn(params, batch, key, epoch, use_gt_p):
         data_in, data_out = batch["data_in"], batch["data_out"]
         B, T = data_in["trans"].shape[:2]
-        x_past = H.state_to_input(cfg, data_in)   # (B, T, D_in)
+        if cfg.steps_in == 1:
+            x_past = H.state_to_input(cfg, data_in)   # (B, T, D_in)
+            init_state = {k: v[:, 0] for k, v in data_in.items()}
+        else:
+            x_past = H.state_to_input_window(cfg, data_in)  # (B,T,S*D)
+            init_state = {k: v[:, 0] for k, v in data_in.items()}  # (B,S,D)
         x_t = H.state_to_input(cfg, data_out)
-        init_state = {k: v[:, 0] for k, v in data_in.items()}
         joint_fn = None
         if use_smpl_joint_inputs:
             from humor_tpu.body_model.gendered import make_rollout_joint_fn

@@ -109,6 +109,9 @@ class TrainCLIConfig:
     # HuMoR-Qual: SMPL-forward joints fed back during scheduled sampling
     # (reference --model-use-smpl-joint-inputs, utils/config.py:201-202)
     model_use_smpl_joint_inputs: bool = False
+    # past-window length (reference --model-steps-in,
+    # humor_model.py:104-176; released configs all use 1)
+    model_steps_in: int = 1
     # loss
     kl_loss: float = 0.0004
     kl_loss_anneal_start: int = 0
