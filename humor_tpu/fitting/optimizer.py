@@ -35,7 +35,7 @@ from humor_tpu.body_model import constants as C
 from humor_tpu.body_model import smpl as smpl_lib
 from humor_tpu.fitting import energies as E
 from humor_tpu.fitting import geometry as geo
-from humor_tpu.fitting.lbfgs import run_lbfgs
+from humor_tpu.fitting.lbfgs import make_mask, run_lbfgs
 from humor_tpu.models import gmm as gmm_lib
 from humor_tpu.models import humor as H
 from humor_tpu.models import vposer as vp
@@ -67,7 +67,7 @@ class TTOConfig:
     stage3_tune_init_state: bool = True
     stage3_tune_init_num_frames: int = 15
     stage3_freeze_start: int = 30
-    stage3_freeze_end: int = 50
+    stage3_freeze_end: int = 55
     stage3_contact_refine_only: bool = False
 
 
@@ -88,6 +88,18 @@ class TTOModels(NamedTuple):
 def _keypt_ids(body) -> np.ndarray:
     return np.asarray([i for i in C.KEYPT_VERTS if i < body.num_verts],
                       np.int32)
+
+
+def slice_observations(observed: Dict[str, jnp.ndarray],
+                       nsteps: int) -> Dict[str, jnp.ndarray]:
+    """Restrict time-indexed observations to the first `nsteps` frames.
+
+    Dispatches on the explicit `energies.TIME_INDEXED_OBS_KEYS` schema —
+    never on array shape: a shape heuristic (`val.shape[1] == T`)
+    silently mis-slices (B, K) per-window metadata whenever K happens to
+    equal T (e.g. `floor_plane` (B, 3) with T == 3)."""
+    return {k: (v[:, :nsteps] if k in E.TIME_INDEXED_OBS_KEYS else v)
+            for k, v in observed.items()}
 
 
 def verts_mode_for(observed) -> str:
@@ -487,17 +499,7 @@ def make_runner(cfg: TTOConfig, models: TTOModels, mesh=None):
             else:
                 cam_pred = pred
 
-            obs = {k: (val[:, :nsteps]
-                       if (hasattr(val, "ndim") and val.ndim >= 2
-                           and val.shape[1] == T
-                           and k not in ("cam_f", "cam_center",
-                                         "seq_interval"))
-                       else val)
-                   for k, val in observed.items()
-                   if k != "prev_batch_overlap_res"}
-            if "prev_batch_overlap_res" in observed:
-                obs["prev_batch_overlap_res"] = \
-                    observed["prev_batch_overlap_res"]
+            obs = slice_observations(observed, nsteps)
 
             cond = (prior_out["cond_prior"]
                     if models.humor_cfg.conditional_prior else None)
@@ -517,19 +519,16 @@ def make_runner(cfg: TTOConfig, models: TTOModels, mesh=None):
                    "joints_vel", "root_orient_vel")
 
     # ---- jitted stage programs (masks are static per program)
-    def _mask_for(vars_, trainable):
-        return {k: jnp.asarray(1.0 if trainable(k) else 0.0)
-                for k in vars_}
 
     @jax.jit
     def stage1_step(vars_, observed):
-        mask = _mask_for(vars_, lambda k: k in ("trans", "root_orient"))
+        mask = make_mask(vars_, lambda k: k in ("trans", "root_orient"))
         return _lbfgs(stage1_loss, vars_, cfg.num_iters[0], observed,
                       mask=mask)
 
     @jax.jit
     def stage2_step(vars_, observed):
-        mask = _mask_for(vars_, lambda k: k != "floor_plane")
+        mask = make_mask(vars_, lambda k: k != "floor_plane")
         return _lbfgs(stage2_loss, vars_, cfg.num_iters[1], observed,
                       mask=mask)
 
@@ -580,27 +579,27 @@ def make_runner(cfg: TTOConfig, models: TTOModels, mesh=None):
         @jax.jit
         def stage3_phaseA(vars_, observed):
             return _lbfgs(stage3_loss_fn(wA, n_init, 1.0), vars_, f0,
-                          observed, mask=_mask_for(vars_, lambda k: True))
+                          observed, mask=make_mask(vars_, lambda k: True))
 
         @jax.jit
         def stage3_phaseB(vars_, observed):
             return _lbfgs(stage3_loss_fn(wB, T, scale), vars_, f1 - f0,
                           observed,
-                          mask=_mask_for(vars_,
+                          mask=make_mask(vars_,
                                          lambda k: k not in freeze_keys))
 
         @jax.jit
         def stage3_phaseC(vars_, observed):
             return _lbfgs(stage3_loss_fn(w3, T, scale), vars_,
                           iters - f1, observed,
-                          mask=_mask_for(vars_, lambda k: True))
+                          mask=make_mask(vars_, lambda k: True))
 
         stage3_phases = (stage3_phaseA, stage3_phaseB, stage3_phaseC)
     else:
         @jax.jit
         def stage3_single(vars_, observed):
             return _lbfgs(stage3_loss_fn(w3, T, 1.0), vars_, iters,
-                          observed, mask=_mask_for(vars_, lambda k: True))
+                          observed, mask=make_mask(vars_, lambda k: True))
 
         stage3_phases = (stage3_single,)
 

@@ -69,8 +69,16 @@ def group_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
 
 
 def mlp_apply(params: List[dict], x: jnp.ndarray,
-              skip_dim: int = 0) -> jnp.ndarray:
-    """Apply the MLP. x: (..., d_in). Returns (..., d_out)."""
+              skip_dim: int = 0,
+              compute_dtype: Optional[str] = None) -> jnp.ndarray:
+    """Apply the MLP. x: (..., d_in). Returns (..., d_out).
+
+    `compute_dtype` (e.g. "bfloat16") casts matmul *inputs* only — weights
+    and activations enter the MXU in the low precision, halving HBM weight
+    traffic, while accumulation and everything between matmuls (GroupNorm
+    statistics, bias add, ReLU) stay in the params dtype via
+    `preferred_element_type`. None = full-precision matmuls."""
+    cdt = jnp.dtype(compute_dtype) if compute_dtype is not None else None
     skip = x[..., x.shape[-1] - skip_dim:] if skip_dim > 0 else None
     h = x
     for i, layer in enumerate(params):
@@ -79,5 +87,10 @@ def mlp_apply(params: List[dict], x: jnp.ndarray,
             h = jax.nn.relu(h)
             if skip is not None:
                 h = jnp.concatenate([h, skip], axis=-1)
-        h = h @ layer["w"] + layer["b"]
+        w, b = layer["w"], layer["b"]
+        if cdt is not None:
+            h = jnp.matmul(h.astype(cdt), w.astype(cdt),
+                           preferred_element_type=b.dtype) + b
+        else:
+            h = h @ w + b
     return h

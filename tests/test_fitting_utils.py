@@ -250,3 +250,32 @@ def test_vposer_torch_import():
     mu_j, _ = vp.encode(cfg, params, jnp.asarray(x.numpy()))
     np.testing.assert_allclose(np.asarray(mu_j), mu_t.numpy(),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_slice_observations_schema_dispatch():
+    """Regression: slicing must dispatch on TIME_INDEXED_OBS_KEYS, not on
+    shape — floor_plane (B, 3) must survive nsteps slicing even when the
+    window length T equals its trailing dim (T == 3)."""
+    import jax.numpy as jnp
+    from humor_tpu.fitting import energies as E
+    from humor_tpu.fitting.optimizer import slice_observations
+
+    B, T, n = 2, 3, 2
+    observed = {
+        "joints3d": jnp.zeros((B, T, 22, 3)),
+        "points3d": jnp.zeros((B, T, 16, 3)),
+        "floor_plane": jnp.ones((B, 3)),       # K == T == 3 trap
+        "cam_f": jnp.ones((B, 2)),
+        "cam_center": jnp.ones((B, 2)),
+        "seq_interval": jnp.zeros((B, 2), jnp.int32),
+        "prev_batch_overlap_res": {"verts3d": jnp.zeros((T, 4, 3))},
+    }
+    out = slice_observations(observed, n)
+    assert out["joints3d"].shape == (B, n, 22, 3)
+    assert out["points3d"].shape == (B, n, 16, 3)
+    for k in ("floor_plane", "cam_f", "cam_center", "seq_interval"):
+        assert out[k].shape == observed[k].shape, k
+    assert out["prev_batch_overlap_res"] is observed["prev_batch_overlap_res"]
+    # schema stays in sync with the energies' data-term keys
+    assert E.TIME_INDEXED_OBS_KEYS == frozenset(
+        {"joints3d", "verts3d", "points3d", "joints2d"})
