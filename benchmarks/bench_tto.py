@@ -44,7 +44,10 @@ def bench_ours(quick=False):
 
     body = synthetic_smpl_model(num_verts=V_VERTS, num_joints=22)
     vcfg = vp.VPoserConfig()
-    hcfg = H.HumorConfig()
+    # HUMOR_COMPUTE_DTYPE=bfloat16 runs the HuMoR MLP matmuls (the
+    # stage-3 rollout hot path) in bf16 on the MXU
+    hcfg = H.HumorConfig(
+        compute_dtype=os.environ.get("HUMOR_COMPUTE_DTYPE") or None)
     models = O.TTOModels(
         body=body, vposer_cfg=vcfg,
         vposer=vp.init_params(vcfg, jax.random.PRNGKey(1)),

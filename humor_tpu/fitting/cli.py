@@ -36,7 +36,7 @@ def load_models(cfg):
         print(f"[fit] no body model at {neutral!r}; using synthetic")
         body = S.synthetic_smpl_model()
 
-    hcfg = H.HumorConfig()
+    hcfg = H.HumorConfig(compute_dtype=cfg.model_compute_dtype or None)
     if cfg.humor_ckpt and os.path.exists(cfg.humor_ckpt):
         if cfg.humor_ckpt.endswith((".pth", ".pt")):
             humor_params = IT.load_humor_checkpoint(cfg.humor_ckpt)

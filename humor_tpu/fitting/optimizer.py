@@ -25,6 +25,7 @@ perf sink, SURVEY.md §3.2):
 from __future__ import annotations
 
 from dataclasses import dataclass, field, replace
+from functools import partial
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -520,19 +521,22 @@ def make_runner(cfg: TTOConfig, models: TTOModels, mesh=None):
 
     # ---- jitted stage programs (masks are static per program)
 
-    @jax.jit
+    # stage programs donate the incoming variable pytree: each stage
+    # consumes its input variables and returns the updated set, so XLA
+    # can reuse the buffers in place on device (VERDICT r1 item 4)
+    @partial(jax.jit, donate_argnums=(0,))
     def stage1_step(vars_, observed):
         mask = make_mask(vars_, lambda k: k in ("trans", "root_orient"))
         return _lbfgs(stage1_loss, vars_, cfg.num_iters[0], observed,
                       mask=mask)
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,))
     def stage2_step(vars_, observed):
         mask = make_mask(vars_, lambda k: k != "floor_plane")
         return _lbfgs(stage2_loss, vars_, cfg.num_iters[1], observed,
                       mask=mask)
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,))
     def stage3_setup(vars_, observed):
         """cam2prior + latent-motion inference + velocity estimation +
         variable shrink, all in one program (reference :337-404)."""
@@ -576,19 +580,19 @@ def make_runner(cfg: TTOConfig, models: TTOModels, mesh=None):
         wB = (replace(w3, contact_vel=0.0, contact_height=0.0)
               if cfg.stage3_contact_refine_only else w3)
 
-        @jax.jit
+        @partial(jax.jit, donate_argnums=(0,))
         def stage3_phaseA(vars_, observed):
             return _lbfgs(stage3_loss_fn(wA, n_init, 1.0), vars_, f0,
                           observed, mask=make_mask(vars_, lambda k: True))
 
-        @jax.jit
+        @partial(jax.jit, donate_argnums=(0,))
         def stage3_phaseB(vars_, observed):
             return _lbfgs(stage3_loss_fn(wB, T, scale), vars_, f1 - f0,
                           observed,
                           mask=make_mask(vars_,
                                          lambda k: k not in freeze_keys))
 
-        @jax.jit
+        @partial(jax.jit, donate_argnums=(0,))
         def stage3_phaseC(vars_, observed):
             return _lbfgs(stage3_loss_fn(w3, T, scale), vars_,
                           iters - f1, observed,
@@ -596,7 +600,7 @@ def make_runner(cfg: TTOConfig, models: TTOModels, mesh=None):
 
         stage3_phases = (stage3_phaseA, stage3_phaseB, stage3_phaseC)
     else:
-        @jax.jit
+        @partial(jax.jit, donate_argnums=(0,))
         def stage3_single(vars_, observed):
             return _lbfgs(stage3_loss_fn(w3, T, 1.0), vars_, iters,
                           observed, mask=make_mask(vars_, lambda k: True))
@@ -687,9 +691,11 @@ def run(cfg: TTOConfig, models: TTOModels,
 def _export_stage(variables, models):
     body_pose = vp.latent2pose(models.vposer_cfg, models.vposer,
                                variables["latent_pose"])
+    # copy pass-throughs: the NEXT stage program donates `variables`, so
+    # exported snapshots must not alias its buffers
     return {
-        "trans": variables["trans"],
-        "root_orient": variables["root_orient"],
+        "trans": jnp.array(variables["trans"], copy=True),
+        "root_orient": jnp.array(variables["root_orient"], copy=True),
         "pose_body": body_pose,
-        "betas": variables["betas"],
+        "betas": jnp.array(variables["betas"], copy=True),
     }

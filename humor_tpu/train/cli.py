@@ -116,7 +116,8 @@ def main(argv=None) -> Dict[str, float]:
         model_data_config=cfg.model_data_config,
         conditional_prior=cfg.conditional_prior,
         output_delta=cfg.output_delta,
-        steps_in=cfg.model_steps_in)
+        steps_in=cfg.model_steps_in,
+        compute_dtype=cfg.model_compute_dtype or None)
     loss_cfg = LossConfig(
         kl_loss=cfg.kl_loss,
         kl_loss_anneal_start=cfg.kl_loss_anneal_start,

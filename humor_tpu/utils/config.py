@@ -112,6 +112,11 @@ class TrainCLIConfig:
     # past-window length (reference --model-steps-in,
     # humor_model.py:104-176; released configs all use 1)
     model_steps_in: int = 1
+    # low-precision matmul policy for the HuMoR MLP stacks ("bfloat16"
+    # halves MXU/HBM weight traffic on TPU; "" = full f32). Geometry,
+    # LBS and losses always stay f32. TPU-only knob, no reference
+    # equivalent.
+    model_compute_dtype: str = ""
     # loss
     kl_loss: float = 0.0004
     kl_loss_anneal_start: int = 0
@@ -184,6 +189,9 @@ class FitCLIConfig:
     init_motion_prior_ckpt: str = ""
     smplh_root: str = "./body_models/smplh"
     gt_body_type: str = "smplh"
+    # "bfloat16" runs the HuMoR MLP matmuls (stage-3 rollout hot path)
+    # in bf16 on the MXU; "" = full f32 (see TrainCLIConfig)
+    model_compute_dtype: str = ""
     # optimization
     lr: float = 1.0
     num_iters: Tuple[int, ...] = (30, 80, 70)

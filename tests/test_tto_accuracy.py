@@ -1,0 +1,214 @@
+"""Synthetic-GT accuracy recovery: the in-env proxy for the driver
+baseline's "wall-clock at MPJPE parity" clause (BASELINE.md).
+
+The full framework pipeline runs end to end: HuMoR trains briefly on the
+procedural synthetic-AMASS generator (supervised + scheduled-sampling
+curriculum), a mini VPoser trains on the same pose distribution, then the
+FULL 3-stage TTO fits a held-out synthetic window corrupted with the
+fit-dataset noise + middle-third occlusion, and the recovered motion must
+come back under absolute MPJPE bounds — not just "the loss went down".
+
+Key claims asserted (numbers measured in this env, bounds at ~1.7x
+margin; see RESULTS.md "Synthetic-GT recovery"):
+  * visible-frame MPJPE: 3.59 m (init) -> ~0.10 m (stage 2) ->
+    ~0.18 m (stage 3, trades a little data fidelity for prior
+    consistency);
+  * occluded-frame MPJPE: stage 3's motion prior IN-PAINTS the unseen
+    middle third better than the per-frame stages (~0.28 m -> ~0.15 m)
+    — the core HuMoR capability (reference motion_optimizer.py:202-676,
+    eval_utils.py:71-134).
+
+Why training is part of the fixture: with random-init networks the
+stage-3 latent rollout cannot represent arbitrary motion and L-BFGS
+cannot usefully invert a random 4x1024 MLP — accuracy recovery is only
+well-posed against a (briefly) trained model, exactly as in the
+reference, whose released checkpoints cannot ship in this env.
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from humor_tpu.body_model.smpl import synthetic_smpl_model
+from humor_tpu.data.synthetic import synthetic_world_batch
+from humor_tpu.data.windows import window_to_pairs
+from humor_tpu.fitting import energies as E
+from humor_tpu.fitting import optimizer as O
+from humor_tpu.losses.elbo import LossConfig
+from humor_tpu.models import humor as H
+from humor_tpu.models import vposer as vp
+from humor_tpu.ops import transforms
+from humor_tpu.train import step as TS
+
+B, T = 2, 10
+NOISE_STD = 0.02  # metres, per-coordinate
+
+MODEL = synthetic_smpl_model()
+CFG = H.HumorConfig()
+
+
+@pytest.fixture(scope="module")
+def trained_humor():
+    """~2.5 min CPU curriculum: 300 supervised + 150 scheduled-sampling
+    steps at batch 48 x 10 frames with the full SMPL losses — enough for
+    the posterior to approximately invert the decoder and for rollouts
+    to track the synthetic manifold."""
+    B_TR, T_TR = 48, 10
+    opt = TS.make_optimizer(lr=5e-4, steps_per_epoch=50)
+    state = TS.init_train_state(CFG, opt, jax.random.PRNGKey(0))
+    sup, ss, _ = TS.make_train_steps(CFG, LossConfig(), opt,
+                                     {"male": MODEL, "female": MODEL})
+    key = jax.random.PRNGKey(1)
+
+    def make_batch(seed):
+        world, meta = synthetic_world_batch(seed, B_TR, T_TR + 1,
+                                            model=MODEL)
+        data_in, data_out, _ = window_to_pairs(world)
+        return {"data_in": data_in, "data_out": data_out,
+                "betas": meta["betas"], "gender_ids": meta["gender_ids"]}
+
+    batches = [make_batch(s) for s in range(40)]
+    for i in range(300):
+        state, _ = sup(state, batches[i % 40], jax.random.fold_in(key, i),
+                       min(i // 60, 5))
+    for i in range(150):
+        p_gt = max(0.0, 1.0 - i / 100.0)
+        state, _ = ss(state, batches[(i * 7) % 40],
+                      jax.random.fold_in(key, 10_000 + i), 15, p_gt)
+    return state.params
+
+
+@pytest.fixture(scope="module")
+def trained_vposer():
+    """Mini VPoser (hidden=96) autoencoding the synthetic pose
+    distribution (~10 s)."""
+    vcfg = vp.VPoserConfig(hidden=96)
+    vparams = vp.init_params(vcfg, jax.random.PRNGKey(3))
+    world, _ = synthetic_world_batch(100, 64, 20, model=MODEL)
+    poses = np.asarray(transforms.rotmat_to_aa(jnp.asarray(
+        np.asarray(world["pose_body"]).reshape(-1, 21, 3, 3)))
+    ).reshape(-1, 63)
+    vopt = optax.adam(2e-3)
+    ostate = vopt.init(vparams)
+
+    @jax.jit
+    def vstep(params, ostate, batch):
+        def loss_fn(p):
+            mu, std = vp.encode(vcfg, p, batch)
+            rec = vp.latent2pose(vcfg, p, mu)
+            kl = 0.5 * jnp.mean(mu ** 2 + std ** 2
+                                - 2 * jnp.log(std + 1e-8) - 1)
+            return jnp.mean(jnp.square(rec - batch)) + 1e-3 * kl
+        l, g = jax.value_and_grad(loss_fn)(params)
+        up, o2 = vopt.update(g, ostate, params)
+        return optax.apply_updates(params, up), o2, l
+
+    rng = np.random.RandomState(0)
+    for _ in range(800):
+        idx = rng.choice(poses.shape[0], 256, replace=False)
+        vparams, ostate, _ = vstep(vparams, ostate, jnp.asarray(poses[idx]))
+    return vcfg, vparams
+
+
+@pytest.fixture(scope="module")
+def models(trained_humor, trained_vposer):
+    vcfg, vparams = trained_vposer
+    return O.TTOModels(body=MODEL, vposer_cfg=vcfg, vposer=vparams,
+                       humor_cfg=CFG, humor=trained_humor, init_gmm=None)
+
+
+@pytest.fixture(scope="module")
+def gt_joints():
+    """Held-out window from the same generator (seed disjoint from the
+    training seeds 0..39 / 100)."""
+    wt, _ = synthetic_world_batch(777, B, T, model=MODEL)
+    return np.asarray(wt["joints"]).reshape(B, T, -1, 3)
+
+
+@pytest.fixture(scope="module")
+def observed(gt_joints):
+    """GT joints + gaussian noise + inf-masked middle third (the
+    fit-dataset corruption pipeline, data/fit_dataset.py:89-96)."""
+    rng = np.random.RandomState(11)
+    noisy = (gt_joints
+             + rng.randn(*gt_joints.shape).astype(np.float32) * NOISE_STD)
+    occ = noisy.copy()
+    occ[:, T // 3: 2 * T // 3] = np.inf
+    return {"joints3d": jnp.asarray(occ)}
+
+
+@pytest.fixture(scope="module")
+def tto_cfg():
+    w1 = E.StageWeights(joints3d=1.0)
+    w2 = E.StageWeights(joints3d=1.0, pose_prior=4e-4, shape_prior=6e-3,
+                        joints3d_smooth=0.1)
+    w3 = E.StageWeights(joints3d=1.0, pose_prior=4e-4, shape_prior=6e-3,
+                        motion_prior=1e-4, joint_consistency=10.0,
+                        bone_length=10.0, joints3d_rollout=0.1)
+    return O.TTOConfig(seq_len=T, stage_weights=(w1, w2, w3),
+                       num_iters=(15, 25, 40),
+                       stage3_tune_init_num_frames=5,
+                       stage3_freeze_start=10, stage3_freeze_end=20)
+
+
+VIS = np.ones(T, bool)
+VIS[T // 3: 2 * T // 3] = False  # frames the occlusion masks out
+
+
+def _mpjpe(pred_joints, gt, frame_mask):
+    """Mean per-joint position error (m) over the selected frames."""
+    err = np.linalg.norm(
+        np.asarray(pred_joints).reshape(B, T, -1, 3) - gt, axis=-1)
+    return float(err[:, frame_mask].mean())
+
+
+@pytest.fixture(scope="module")
+def recovered(tto_cfg, models, observed):
+    res = O.run(tto_cfg, models, observed)
+    per_stage = {}
+    for st in ("stage1", "stage2", "stage3"):
+        s = res.per_stage[st]
+        p = O.smpl_results(models.body, s["trans"], s["root_orient"],
+                           s["pose_body"], s["betas"], verts="none")
+        per_stage[st] = np.asarray(p["joints3d"])
+    return res, per_stage
+
+
+def test_visible_frames_recovered(recovered, gt_joints, tto_cfg, models,
+                                  observed):
+    res, joints = recovered
+    init_vars = O.init_variables(tto_cfg, models, B, observed)
+    pred0, _ = O._stage12_pred(models, init_vars)
+    err_init = _mpjpe(pred0["joints3d"], gt_joints, VIS)
+    assert err_init > 1.0, f"degenerate init {err_init:.3f} m"
+
+    err_s2 = _mpjpe(joints["stage2"], gt_joints, VIS)
+    err_s3 = _mpjpe(joints["stage3"], gt_joints, VIS)
+    # measured: init 3.59 -> stage2 0.097 -> stage3 0.177 (m)
+    assert err_s2 < 0.20, f"stage-2 visible MPJPE {err_s2:.4f} m"
+    assert err_s3 < 0.35, f"stage-3 visible MPJPE {err_s3:.4f} m"
+    assert err_s3 < err_init / 8.0, (err_init, err_s3)
+
+
+def test_motion_prior_inpaints_occlusion(recovered, gt_joints):
+    """The core HuMoR capability: the stage-3 motion prior must
+    reconstruct the inf-masked middle third BETTER than the per-frame
+    stages, which can only smooth across it (measured 0.278 -> 0.152 m)."""
+    _, joints = recovered
+    occ_s2 = _mpjpe(joints["stage2"], gt_joints, ~VIS)
+    occ_s3 = _mpjpe(joints["stage3"], gt_joints, ~VIS)
+    assert np.all(np.isfinite(joints["stage3"]))
+    assert occ_s3 < 0.40, f"occluded-frame MPJPE {occ_s3:.4f} m"
+    assert occ_s3 < occ_s2, (occ_s2, occ_s3)
+
+
+def test_betas_stay_bounded(recovered):
+    """GT betas are ~N(0, 0.5); the fit must not absorb noise into
+    extreme shapes (shape prior active in stages 2/3)."""
+    res, _ = recovered
+    betas = np.asarray(res.final["betas"])
+    assert np.all(np.abs(betas) < 2.0), betas
