@@ -1,0 +1,94 @@
+"""Training-step throughput benchmark at the reference config
+(batch 200 windows x 10 frames, full ELBO incl. gendered SMPL losses —
+reference configs/train_humor.cfg, README.md:146).
+
+Usage: python benchmarks/bench_train.py [--ss] [--dtype bfloat16]
+Prints one JSON line: supervised (or sched-samp) step wall-clock + the
+implied transitions/s. Runs on whatever backend jax selects (real TPU
+chip when run plainly; HUMOR_PLATFORM=cpu for the virtual mesh).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+B, T = 200, 10
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ss", action="store_true",
+                    help="benchmark the scheduled-sampling step instead")
+    ap.add_argument("--dtype", default=os.environ.get(
+        "HUMOR_COMPUTE_DTYPE", ""), help="MLP compute dtype, e.g. bfloat16")
+    ap.add_argument("--batch", type=int, default=B)
+    args = ap.parse_args()
+
+    from humor_tpu.utils.platform import setup_platform
+    setup_platform()
+    import jax
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                         ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", os.path.abspath(cache))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+    from humor_tpu.body_model.smpl import synthetic_smpl_model
+    from humor_tpu.data.synthetic import synthetic_world_batch
+    from humor_tpu.data.windows import window_to_pairs
+    from humor_tpu.losses.elbo import LossConfig
+    from humor_tpu.models import humor as H
+    from humor_tpu.train import step as TS
+
+    model = synthetic_smpl_model(num_verts=6890, num_joints=22)
+    cfg = H.HumorConfig(compute_dtype=args.dtype or None)
+    opt = TS.make_optimizer(lr=1e-4, steps_per_epoch=200)
+    state = TS.init_train_state(cfg, opt, jax.random.PRNGKey(0))
+    sup, ss, _ = TS.make_train_steps(
+        cfg, LossConfig(), opt, {"male": model, "female": model})
+    step = ss if args.ss else sup
+
+    def make_batch(seed):
+        world, meta = synthetic_world_batch(seed, args.batch, T + 1,
+                                            model=model)
+        data_in, data_out, _ = window_to_pairs(world)
+        return {"data_in": data_in, "data_out": data_out,
+                "betas": meta["betas"], "gender_ids": meta["gender_ids"]}
+
+    batches = [make_batch(s) for s in range(4)]
+    key = jax.random.PRNGKey(1)
+
+    def run(i):
+        extra = (0.5,) if args.ss else ()
+        return step(state, batches[i % 4], jax.random.fold_in(key, i), 20,
+                    *extra)
+
+    # compile + warm the tunnel
+    for i in range(6):
+        st, stats = run(i)
+        jax.block_until_ready(stats["total_loss"])
+    times = []
+    for i in range(10):
+        t0 = time.perf_counter()
+        st, stats = run(6 + i)
+        jax.block_until_ready(stats["total_loss"])
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    dt = times[len(times) // 2]
+    print(json.dumps({
+        "metric": ("sched_samp" if args.ss else "supervised")
+        + f"_step_b{args.batch}x{T}",
+        "value": round(dt * 1000.0, 2),
+        "unit": "ms",
+        "dtype": args.dtype or "float32",
+        "transitions_per_s": round(args.batch * T / dt),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -196,3 +196,42 @@ class TestScheduledSampling:
             np.testing.assert_allclose(
                 np.asarray(out.pred["trans"][:, t]),
                 np.asarray(ref.pred["trans"]), atol=1e-5)
+
+
+class TestComputeDtype:
+    """compute_dtype="bfloat16" must change only matmul input precision
+    (accumulation and everything between matmuls stays f32)."""
+
+    def test_bf16_outputs_close_to_f32(self, params):
+        cfg16 = H.HumorConfig(compute_dtype="bfloat16")
+        st = make_state(jax.random.PRNGKey(4))
+        past = CFG.input_spec.pack(st)
+        m32, v32 = H.prior(CFG, params, past)
+        m16, v16 = H.prior(cfg16, params, past)
+        assert m16.dtype == jnp.float32
+        # bf16 has ~3 decimal digits; activations are O(1)
+        np.testing.assert_allclose(np.asarray(m16), np.asarray(m32),
+                                   atol=0.15)
+        assert float(jnp.max(jnp.abs(m16 - m32))) > 0.0  # actually lower
+        z = jax.random.normal(jax.random.PRNGKey(5),
+                              (3, CFG.latent_size))
+        d32 = H.decode(CFG, params, z, past)
+        d16 = H.decode(cfg16, params, z, past)
+        for k in d32:
+            np.testing.assert_allclose(
+                np.asarray(d16[k]), np.asarray(d32[k]), atol=0.2,
+                err_msg=k)
+
+    def test_bf16_grads_finite(self, params):
+        cfg16 = H.HumorConfig(compute_dtype="bfloat16")
+        st = make_state(jax.random.PRNGKey(6))
+        past = CFG.input_spec.pack(st)
+
+        def loss(p):
+            m, v = H.prior(cfg16, p, past)
+            return jnp.sum(jnp.square(m)) + jnp.sum(v)
+
+        g = jax.grad(loss)(params)
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(bool(jnp.all(jnp.isfinite(x))) for x in leaves)
+        assert all(x.dtype == jnp.float32 for x in leaves)
