@@ -26,6 +26,9 @@ def main():
     ap.add_argument("--dtype", default=os.environ.get(
         "HUMOR_COMPUTE_DTYPE", ""), help="MLP compute dtype, e.g. bfloat16")
     ap.add_argument("--batch", type=int, default=B)
+    ap.add_argument("--no-smpl-losses", action="store_true",
+                    help="disable the gendered SMPL joint/mesh losses "
+                         "(isolates the CVAE+ELBO cost)")
     args = ap.parse_args()
 
     from humor_tpu.utils.platform import setup_platform
@@ -49,8 +52,14 @@ def main():
     cfg = H.HumorConfig(compute_dtype=args.dtype or None)
     opt = TS.make_optimizer(lr=1e-4, steps_per_epoch=200)
     state = TS.init_train_state(cfg, opt, jax.random.PRNGKey(0))
-    sup, ss, _ = TS.make_train_steps(
-        cfg, LossConfig(), opt, {"male": model, "female": model})
+    if args.no_smpl_losses:
+        lcfg = LossConfig(smpl_joint_loss=0.0, smpl_mesh_loss=0.0,
+                          smpl_joint_consistency_loss=0.0)
+        smpl_models = None
+    else:
+        lcfg = LossConfig()
+        smpl_models = {"male": model, "female": model}
+    sup, ss, _ = TS.make_train_steps(cfg, lcfg, opt, smpl_models)
     step = ss if args.ss else sup
 
     def make_batch(seed):

@@ -87,7 +87,7 @@ def bench_ours(quick=False):
     times = []
     # fresh observations per rep: identical (program, inputs) pairs can be
     # served from an execution cache on some remote backends
-    for i in range(3):
+    for i in range(5):
         obs = make_obs(i + 1)
         t0 = time.perf_counter()
         res = runner(obs)
@@ -200,6 +200,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     args = ap.parse_args()
+
+    import jax
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                         ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", os.path.abspath(cache))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
     ours = bench_ours(quick=args.quick)
     scale = 1.0

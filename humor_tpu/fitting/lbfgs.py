@@ -6,11 +6,31 @@ The reference drives every TTO stage with torch.optim.LBFGS
 closure re-evaluates the full energy each line-search probe on the host.
 
 TPU-first design: one jitted `lax.scan` over L-BFGS iterations built on
-optax's scale_by_lbfgs + zoom (strong-Wolfe) linesearch — the entire
-stage (tens of iterations x line-search evals) is a single XLA program
-with zero host round-trips. Variable freezing (the stage-3 sub-schedule,
-motion_optimizer.py:479-511) is a gradient mask pytree instead of the
-reference's re-created optimizers, so phase changes don't recompile.
+optax's scale_by_lbfgs — the entire stage (tens of iterations x
+line-search evals) is a single XLA program with zero host round-trips.
+Variable freezing (the stage-3 sub-schedule, motion_optimizer.py:479-511)
+is a gradient mask pytree instead of the reference's re-created
+optimizers, so phase changes don't recompile.
+
+Two line searches:
+
+  * "zoom" — optax's sequential strong-Wolfe zoom (the reference's
+    semantics). Each probe is a full closure evaluation; the accepted
+    point's value+grad are fetched from the optimizer state so the
+    monotone safeguard costs nothing extra.
+  * "parallel" (default) — a speculative vectorized line search. The TTO
+    closures are latency-bound at small window batches (the stage-3
+    closure is a 59-step sequential rollout of 1024-wide MLPs at B=2, far
+    below the MXU tile), so K candidate step sizes cost barely more than
+    one when evaluated as ONE vmapped closure call. Each iteration
+    evaluates a log-spaced candidate grid recentered on the previously
+    accepted step, takes the largest candidate satisfying strong Wolfe
+    (falling back to the best finite descent point), and reuses the
+    selected candidate's value+grad as the next iteration's evaluation —
+    exactly one batched closure eval per L-BFGS iteration, versus 2-8+
+    sequential evals for zoom. Strong-Wolfe-accepted steps preserve the
+    positive-curvature guarantee; non-Wolfe descent accepts are covered
+    by the monotone safeguard below.
 """
 
 from __future__ import annotations
@@ -36,6 +56,22 @@ def _masked(grads: Any, mask: Optional[Any]) -> Any:
         lambda g, m: g * jnp.asarray(m, g.dtype), grads, mask)
 
 
+def _vdot(a: Any, b: Any) -> jnp.ndarray:
+    leaves = jax.tree_util.tree_map(
+        lambda x, y: jnp.sum(x * y), a, b)
+    return jax.tree_util.tree_reduce(jnp.add, leaves)
+
+
+# strong-Wolfe constants (Nocedal & Wright defaults; also torch's)
+_C1, _C2 = 1e-4, 0.9
+
+
+def _candidate_multipliers(num_candidates: int) -> jnp.ndarray:
+    """Log-spaced relative multipliers spanning ~3 decades around the
+    previously accepted step size."""
+    return jnp.geomspace(8.0, 0.008, num_candidates)
+
+
 def run_lbfgs(
     loss_fn: Callable[..., Any],
     init_params: Any,
@@ -45,15 +81,20 @@ def run_lbfgs(
     history_size: int = 10,
     max_linesearch_steps: int = 20,
     has_aux: bool = False,
+    linesearch: str = "parallel",
+    num_candidates: int = 8,
 ) -> LbfgsResult:
-    """Minimize `loss_fn(params, *args)` with L-BFGS + strong-Wolfe zoom.
+    """Minimize `loss_fn(params, *args)` with L-BFGS + strong-Wolfe line
+    search ("parallel" speculative-vectorized by default, "zoom" for
+    optax's sequential zoom).
 
     mask: optional pytree of {0,1} matching `init_params`; frozen variables
     get zero gradient (and therefore zero update). Matches the reference's
     stage-wise variable selection without rebuilding the optimizer.
 
     Jit-safe: call inside jit, or jit the caller. `num_iters`,
-    `history_size`, `max_linesearch_steps` are static.
+    `history_size`, `max_linesearch_steps`, `linesearch`,
+    `num_candidates` are static.
     """
     if has_aux:
         def value_fn(p, *a):
@@ -61,6 +102,80 @@ def run_lbfgs(
     else:
         value_fn = loss_fn
 
+    vg = jax.value_and_grad(value_fn)
+
+    if linesearch == "zoom":
+        step = _make_zoom_step(value_fn, vg, args, mask, history_size,
+                               max_linesearch_steps)
+        opt_init = step.opt_init
+        extra0 = ()
+    elif linesearch == "parallel":
+        step = _make_parallel_step(value_fn, vg, args, mask, history_size,
+                                   num_candidates)
+        opt_init = step.opt_init
+        extra0 = (jnp.asarray(1.0),)  # previously accepted step size
+    else:
+        raise ValueError(f"unknown linesearch {linesearch!r}")
+
+    value0, grads0 = vg(init_params, *args)
+    grads0 = _masked(grads0, mask)
+    init_carry = (init_params, opt_init(init_params), init_params,
+                  jnp.asarray(jnp.inf), value0, grads0) + extra0
+    carry, losses = jax.lax.scan(step, init_carry, None, length=num_iters)
+    params, _, best_params, best_val, final_value, _ = carry[:6]
+
+    # the scan's best-tracking lags one evaluation behind: fold in the
+    # final iterate too (its value is already in the carry — no extra eval)
+    better = jnp.isfinite(final_value) & (final_value < best_val)
+    params = jax.tree_util.tree_map(
+        lambda p, b: jnp.where(better, p, b), params, best_params)
+
+    if has_aux:
+        final_loss, aux = loss_fn(params, *args)
+    else:
+        final_loss, aux = loss_fn(params, *args), None
+    return LbfgsResult(params=params, loss=final_loss,
+                       loss_history=losses, stats_history=aux)
+
+
+class _Step:
+    """Scan-step callable carrying its optimizer's init fn."""
+
+    def __init__(self, fn, opt_init):
+        self._fn = fn
+        self.opt_init = opt_init
+
+    def __call__(self, carry, x):
+        return self._fn(carry, x)
+
+
+def _accept_or_restart(ok, new_params, params, new_value, value,
+                       new_grads, grads, new_opt_state, fresh_state):
+    """Monotone safeguard: a failed line search can accept an ascent
+    step, after which the corrupted curvature memory sends L-BFGS off to
+    divergence. If the step is not (near-)descent, reject it AND restart
+    the optimizer memory from the current point."""
+    sel = lambda n, o: jnp.where(ok, n, o)
+    new_params = jax.tree_util.tree_map(sel, new_params, params)
+    new_opt_state = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(ok, a, b) if hasattr(a, "dtype") else a,
+        new_opt_state, fresh_state)
+    new_value = jnp.where(ok, new_value, value)
+    new_grads = jax.tree_util.tree_map(sel, new_grads, grads)
+    return new_params, new_opt_state, new_value, new_grads
+
+
+def _track_best(params, value, best_params, best_val):
+    """Best-iterate tracking: the returned params are always the best
+    point actually evaluated."""
+    better = jnp.isfinite(value) & (value < best_val)
+    best_params = jax.tree_util.tree_map(
+        lambda b, p: jnp.where(better, p, b), best_params, params)
+    return best_params, jnp.where(better, value, best_val)
+
+
+def _make_zoom_step(value_fn, vg, args, mask, history_size,
+                    max_linesearch_steps):
     opt = optax.lbfgs(
         memory_size=history_size,
         linesearch=optax.scale_by_zoom_linesearch(
@@ -68,17 +183,17 @@ def run_lbfgs(
             initial_guess_strategy="one",
         ),
     )
-
-    vg = jax.value_and_grad(value_fn)
+    # the zoom linesearch already evaluated value+grad at the point it
+    # accepted; fetch them from the optimizer state instead of paying a
+    # second full closure evaluation per iteration. (Masked coordinates
+    # never acquire a nonzero direction — grads, s and y are all masked —
+    # so the accepted point IS `new_params` and the fetch is exact.)
+    vg_state = optax.value_and_grad_from_state(lambda p: value_fn(p, *args))
 
     def step(carry, _):
         params, opt_state, best_params, best_val, value, grads = carry
-        # best-iterate tracking: the returned params are always the best
-        # point actually evaluated
-        better = jnp.isfinite(value) & (value < best_val)
-        best_params = jax.tree_util.tree_map(
-            lambda b, p: jnp.where(better, p, b), best_params, params)
-        best_val = jnp.where(better, value, best_val)
+        best_params, best_val = _track_best(params, value, best_params,
+                                            best_val)
 
         updates, new_opt_state = opt.update(
             grads, opt_state, params,
@@ -88,50 +203,90 @@ def run_lbfgs(
         updates = _masked(updates, mask)
         new_params = optax.apply_updates(params, updates)
 
-        # monotone safeguard: a failed zoom line search can accept an
-        # ascent step, after which the corrupted curvature memory sends
-        # L-BFGS off to divergence. Evaluate the step (the value+grad at
-        # the new point doubles as the NEXT iteration's evaluation, so
-        # the safeguard costs nothing); if it is not a (near-)descent
-        # step, reject it AND restart the optimizer memory from the
-        # current point.
-        new_value, new_grads = vg(new_params, *args)
+        new_value, new_grads = vg_state(new_params, state=new_opt_state)
         new_grads = _masked(new_grads, mask)
         tol = 1e-4 * jnp.abs(value) + 1e-8
         ok = jnp.isfinite(new_value) & (new_value <= value + tol) \
             & jnp.isfinite(optax.global_norm(updates))
 
-        sel = lambda n, o: jnp.where(ok, n, o)
-        new_params = jax.tree_util.tree_map(sel, new_params, params)
-        fresh_state = opt.init(params)
-        new_opt_state = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(ok, a, b) if hasattr(a, "dtype")
-            else a, new_opt_state, fresh_state)
-        new_value = jnp.where(ok, new_value, value)
-        new_grads = jax.tree_util.tree_map(sel, new_grads, grads)
+        new_params, new_opt_state, new_value, new_grads = \
+            _accept_or_restart(ok, new_params, params, new_value, value,
+                               new_grads, grads, new_opt_state,
+                               opt.init(params))
         return (new_params, new_opt_state, best_params, best_val,
                 new_value, new_grads), value
 
-    value0, grads0 = vg(init_params, *args)
-    grads0 = _masked(grads0, mask)
-    init_carry = (init_params, opt.init(init_params), init_params,
-                  jnp.asarray(jnp.inf), value0, grads0)
-    (params, _, best_params, best_val, _, _), losses = jax.lax.scan(
-        step, init_carry, None, length=num_iters)
+    return _Step(step, opt.init)
 
-    # the scan's best-tracking lags one evaluation behind: fold in the
-    # final iterate too
-    final_val = value_fn(params, *args)
-    better = jnp.isfinite(final_val) & (final_val < best_val)
-    params = jax.tree_util.tree_map(
-        lambda b, p: jnp.where(better, p, b), best_params, params)
 
-    if has_aux:
-        final_loss, aux = loss_fn(params, *args)
-    else:
-        final_loss, aux = loss_fn(params, *args), None
-    return LbfgsResult(params=params, loss=final_loss,
-                       loss_history=losses, stats_history=aux)
+def _make_parallel_step(value_fn, vg, args, mask, history_size,
+                        num_candidates):
+    # direction = -H·g from the two-loop recursion; step size chosen by
+    # the speculative batched search below
+    opt = optax.chain(
+        optax.scale_by_lbfgs(memory_size=history_size),
+        optax.scale(-1.0),
+    )
+    mults = _candidate_multipliers(max(num_candidates - 1, 2))
+
+    def step(carry, _):
+        (params, opt_state, best_params, best_val, value, grads,
+         alpha_prev) = carry
+        best_params, best_val = _track_best(params, value, best_params,
+                                            best_val)
+
+        direction, new_opt_state = opt.update(
+            grads, opt_state, params, value=value, grad=grads)
+        direction = _masked(direction, mask)
+        g0d = _vdot(grads, direction)  # < 0 for a descent direction
+
+        # candidate step sizes: a grid recentered on the last accepted
+        # step, plus the unit step (the natural L-BFGS step near
+        # convergence), largest first so argmax(wolfe) picks the largest
+        # acceptable candidate
+        alphas = jnp.concatenate(
+            [jnp.clip(alpha_prev * mults, 1e-8, 1e4), jnp.ones((1,))])
+        alphas = jnp.sort(alphas)[::-1]
+
+        def eval_at(a):
+            p = jax.tree_util.tree_map(
+                lambda pp, dd: pp + a.astype(pp.dtype) * dd,
+                params, direction)
+            v, g = vg(p, *args)
+            return v, g
+
+        vals, grads_k = jax.vmap(eval_at)(alphas)
+        gkd = jax.vmap(lambda g: _vdot(g, direction))(grads_k)
+
+        finite = jnp.isfinite(vals)
+        armijo = vals <= value + _C1 * alphas * g0d
+        curvature = jnp.abs(gkd) <= _C2 * jnp.abs(g0d)
+        wolfe = finite & armijo & curvature
+        idx_wolfe = jnp.argmax(wolfe)  # first (= largest alpha) match
+        idx_desc = jnp.argmin(jnp.where(finite, vals, jnp.inf))
+        idx = jnp.where(jnp.any(wolfe), idx_wolfe, idx_desc)
+
+        a_sel = alphas[idx]
+        new_params = jax.tree_util.tree_map(
+            lambda pp, dd: pp + a_sel.astype(pp.dtype) * dd,
+            params, direction)
+        new_value = vals[idx]
+        new_grads = _masked(
+            jax.tree_util.tree_map(lambda g: g[idx], grads_k), mask)
+
+        tol = 1e-4 * jnp.abs(value) + 1e-8
+        ok = jnp.isfinite(new_value) & (new_value <= value + tol) \
+            & jnp.isfinite(optax.global_norm(direction))
+
+        new_params, new_opt_state, new_value, new_grads = \
+            _accept_or_restart(ok, new_params, params, new_value, value,
+                               new_grads, grads, new_opt_state,
+                               opt.init(params))
+        alpha_next = jnp.where(ok, a_sel, jnp.asarray(1.0))
+        return (new_params, new_opt_state, best_params, best_val,
+                new_value, new_grads, alpha_next), value
+
+    return _Step(step, opt.init)
 
 
 def make_mask(params: Any, trainable: Callable[[str], bool]) -> Any:

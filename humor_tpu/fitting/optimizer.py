@@ -63,6 +63,11 @@ class TTOConfig:
     num_iters: Tuple[int, int, int] = (30, 70, 70)
     lbfgs_max_linesearch: int = 20
     lbfgs_history: int = 10
+    # "parallel": speculative vectorized strong-Wolfe search (one vmapped
+    # closure eval per iteration — the TTO closures are latency-bound at
+    # small B, so K candidates cost ~one eval); "zoom": optax sequential
+    # zoom (the reference's torch strong_wolfe semantics, 2-8+ evals/iter)
+    lbfgs_linesearch: str = "parallel"
     data_fps: float = 30.0
     optim_floor: bool = False
     stage3_tune_init_state: bool = True
@@ -441,7 +446,8 @@ def make_runner(cfg: TTOConfig, models: TTOModels, mesh=None):
     def _lbfgs(loss_fn, vars_, iters, observed, mask=None):
         return run_lbfgs(loss_fn, vars_, iters, observed, mask=mask,
                          history_size=cfg.lbfgs_history,
-                         max_linesearch_steps=cfg.lbfgs_max_linesearch)
+                         max_linesearch_steps=cfg.lbfgs_max_linesearch,
+                         linesearch=cfg.lbfgs_linesearch)
 
     # ---- stage 1/2 losses
     def stage1_loss(v, observed):
@@ -625,6 +631,17 @@ def make_runner(cfg: TTOConfig, models: TTOModels, mesh=None):
 
     def run(observed: Dict[str, jnp.ndarray]) -> TTOResult:
         """Execute the 3 stages on one observation batch."""
+        import os as _os
+        import time as _time
+        _timing = bool(_os.environ.get("HUMOR_TTO_TIMINGS"))
+        _marks = []
+
+        def _mark(label, leaf):
+            if _timing:
+                jax.block_until_ready(leaf)
+                _marks.append((label, _time.perf_counter()))
+
+        _mark("start", observed)
         B = observed[next(iter(observed))].shape[0]
         if mesh is not None:
             # window batch shards over devices; cross-batch carries are
@@ -638,25 +655,38 @@ def make_runner(cfg: TTOConfig, models: TTOModels, mesh=None):
         per_stage: Dict[str, Dict] = {}
         losses: Dict[str, jnp.ndarray] = {}
 
+        _mark("init", variables["trans"])
+
         res1 = stage1_step(variables, observed)
         variables = res1.params
         losses["stage1"] = res1.loss_history
         per_stage["stage1"] = _export_stage(variables, models)
+        _mark("stage1", variables["trans"])
 
         res2 = stage2_step(variables, observed)
         variables = res2.params
         losses["stage2"] = res2.loss_history
         per_stage["stage2"] = _export_stage(variables, models)
+        _mark("stage2", variables["trans"])
 
         s3_vars = stage3_setup(variables, observed)
+        _mark("stage3_setup", s3_vars["latent_motion"])
         s3_losses = []
-        for phase in stage3_phases:
+        for i, phase in enumerate(stage3_phases):
             res = phase(s3_vars, observed)
             s3_vars = res.params
             s3_losses.append(res.loss_history)
+            _mark(f"stage3_phase{i}", s3_vars["latent_motion"])
         losses["stage3"] = jnp.concatenate(s3_losses)
 
         prior_out, cam_out = final_rollout(s3_vars)
+        _mark("final_rollout", prior_out["trans"])
+        if _timing:
+            import json as _json
+            import sys as _sys
+            segs = {b[0]: round(b[1] - a[1], 4)
+                    for a, b in zip(_marks, _marks[1:])}
+            print("[tto timings] " + _json.dumps(segs), file=_sys.stderr)
         final = {
             "trans": cam_out["trans"],
             "root_orient": cam_out["root_orient"],

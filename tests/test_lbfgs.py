@@ -45,6 +45,30 @@ def test_mask_freezes_variables():
     np.testing.assert_array_equal(np.asarray(res.params["b"]), 0.0)
 
 
+def test_parallel_matches_zoom_quality():
+    """The speculative vectorized line search must reach the same optima
+    the sequential strong-Wolfe zoom does (same budget) on both a benign
+    quadratic and the ill-conditioned Rosenbrock valley."""
+    A = jnp.asarray(np.diag([1.0, 10.0, 100.0]), jnp.float32)
+    b = jnp.asarray([1.0, -2.0, 3.0], jnp.float32)
+
+    def quad(p):
+        x = p["x"]
+        return 0.5 * x @ A @ x - b @ x
+
+    def rosen(p):
+        x, y = p["xy"][0], p["xy"][1]
+        return (1 - x) ** 2 + 100.0 * (y - x * x) ** 2
+
+    for loss, init, iters in (
+            (quad, {"x": jnp.zeros(3)}, 30),
+            (rosen, {"xy": jnp.asarray([-1.2, 1.0])}, 80)):
+        rz = run_lbfgs(loss, init, num_iters=iters, linesearch="zoom")
+        rp = run_lbfgs(loss, init, num_iters=iters, linesearch="parallel")
+        assert float(rp.loss) <= float(rz.loss) + 1e-5, (
+            f"parallel {float(rp.loss)} worse than zoom {float(rz.loss)}")
+
+
 def test_has_aux_stats():
     def loss(p):
         l = jnp.sum(p["x"] ** 2)
