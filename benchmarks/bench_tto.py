@@ -30,7 +30,7 @@ NUM_ITERS = (30, 70, 70)
 V_VERTS, V_JOINTS = 6890, 52  # real SMPL+H scale
 
 
-def bench_ours(quick=False):
+def bench_ours(quick=False, batch=B):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -58,14 +58,14 @@ def bench_ours(quick=False):
                                                     (12, 138, 138))))
     def make_obs(seed):
         rng = np.random.RandomState(seed)
-        z = jnp.asarray(rng.randn(B, T, vcfg.latent_dim) * 0.3,
+        z = jnp.asarray(rng.randn(batch, T, vcfg.latent_dim) * 0.3,
                         jnp.float32)
         pose = vp.latent2pose(vcfg, models.vposer, z)
-        trans = jnp.asarray(rng.randn(B, T, 3) * 0.1, jnp.float32)
-        ro = jnp.asarray(np.tile(rng.randn(B, 1, 3) * 0.2, (1, T, 1)),
+        trans = jnp.asarray(rng.randn(batch, T, 3) * 0.1, jnp.float32)
+        ro = jnp.asarray(np.tile(rng.randn(batch, 1, 3) * 0.2, (1, T, 1)),
                          jnp.float32)
         gt = O.smpl_results(models.body, trans, ro, pose,
-                            jnp.zeros((B, 16)), verts="none")
+                            jnp.zeros((batch, 16)), verts="none")
         return {"joints3d": gt["joints3d"]}
 
     iters = (4, 4, 4) if quick else NUM_ITERS
@@ -199,6 +199,9 @@ def bench_reference_style(quick=False):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--batch", type=int, default=B,
+                    help="window batch size (default 2 = the driver "
+                         "baseline; larger batches measure throughput)")
     args = ap.parse_args()
 
     import jax
@@ -208,7 +211,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
-    ours = bench_ours(quick=args.quick)
+    ours = bench_ours(quick=args.quick, batch=args.batch)
     scale = 1.0
     if args.quick:
         scale = sum(NUM_ITERS) / 12.0  # extrapolate quick iters
@@ -218,13 +221,16 @@ def main():
         vs = ref / ours
     except Exception:
         ref, vs = float("nan"), float("nan")
-    print(json.dumps({
-        "metric": "tto_60frame_batch2_wallclock",
+    out = {
+        "metric": f"tto_60frame_batch{args.batch}_wallclock",
         "value": round(ours, 3),
         "unit": "s",
         "vs_baseline": round(vs, 2),
         "baseline_s": round(ref, 3),
-    }))
+    }
+    if args.batch != B:
+        out["windows_per_s"] = round(args.batch / ours, 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -105,6 +105,7 @@ def main(argv=None) -> Dict:
                               joints2d_sigma=cfg.joint2d_sigma),
         num_iters=tuple(int(n) for n in cfg.num_iters),
         lbfgs_max_linesearch=cfg.lbfgs_max_iter,
+        lbfgs_linesearch=cfg.lbfgs_linesearch,
         stage3_tune_init_state=not cfg.stage3_no_tune_init_state,
         stage3_tune_init_num_frames=cfg.stage3_tune_init_num_frames,
         stage3_freeze_start=cfg.stage3_freeze_start,

@@ -196,6 +196,9 @@ class FitCLIConfig:
     lr: float = 1.0
     num_iters: Tuple[int, ...] = (30, 80, 70)
     lbfgs_max_iter: int = 20
+    # "parallel" (speculative vectorized strong-Wolfe, one vmapped eval
+    # per iteration) or "zoom" (sequential, reference torch semantics)
+    lbfgs_linesearch: str = "parallel"
     stage3_tune_init_num_frames: int = 15
     stage3_freeze_start: int = 30
     stage3_freeze_end: int = 55

@@ -125,6 +125,37 @@ def test_stage1_improves_root_alignment(tto_cfg, models, observed):
     assert err1 < err0 * 0.7, (err0, err1)
 
 
+def test_fused_matches_unfused(tto_cfg, models, observed):
+    """The single-program fused pipeline must track the per-stage
+    programs' loss trajectory. Uses the zoom line search: its accepted
+    step shifts only continuously under the reassociation drift of a
+    different XLA partitioning, so trajectories stay comparable (the
+    parallel search picks from a discrete candidate grid — a knife-edge
+    Wolfe boundary can flip between equally-valid steps; its fused-path
+    quality is covered by every other test in this module, which runs
+    the fused default)."""
+    import dataclasses
+    cfg = dataclasses.replace(tto_cfg, lbfgs_linesearch="zoom")
+    rf = O.make_runner(cfg, models, fuse=True)(observed)
+    ru = O.make_runner(cfg, models, fuse=False)(observed)
+    for stage in ("stage1", "stage2"):
+        a = np.asarray(rf.losses[stage])
+        b = np.asarray(ru.losses[stage])
+        np.testing.assert_allclose(a, b, rtol=2e-2, atol=1e-3)
+    # stage 3 is chaotically sensitive with random-weight models (the
+    # latent init goes through untrained MLPs), so fused-vs-unfused
+    # rounding drift compounds; pin the structure and bounded quality
+    # instead of the trajectory
+    a3, b3 = np.asarray(rf.losses["stage3"]), np.asarray(ru.losses["stage3"])
+    np.testing.assert_allclose(a3[0], b3[0], rtol=2e-2)
+    assert np.all(np.isfinite(a3)) and np.all(np.isfinite(b3))
+    assert abs(float(a3[-1]) - float(b3[-1])) < 0.5 * max(
+        abs(float(a3[-1])), abs(float(b3[-1])))
+    for k in ("trans", "root_orient", "pose_body", "betas"):
+        assert rf.final[k].shape == ru.final[k].shape
+        assert np.all(np.isfinite(np.asarray(rf.final[k])))
+
+
 def test_velocity_estimation():
     # constant velocity sequence -> exact recovery
     t = jnp.arange(6, dtype=jnp.float32)

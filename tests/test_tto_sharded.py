@@ -58,9 +58,16 @@ def _cfg():
                         rgb_overlap_consist=1.0)
     w3 = E.StageWeights(joints3d=1.0, motion_prior=1e-4,
                         joint_consistency=1.0)
+    # zoom linesearch: its accepted step size shifts only continuously
+    # under the reduction-reassociation drift sharding introduces, so
+    # plain-vs-sharded stays comparable. The parallel search picks from a
+    # DISCRETE candidate grid — a knife-edge Wolfe boundary can flip the
+    # chosen candidate between equally-valid steps and the trajectories
+    # (not the quality) diverge, which is not what this test pins down.
     return O.TTOConfig(seq_len=T, stage_weights=(w1, w2, w3),
                        num_iters=(2, 2, 2),
-                       stage3_tune_init_state=False)
+                       stage3_tune_init_state=False,
+                       lbfgs_linesearch="zoom")
 
 
 def test_sharded_matches_unsharded(models, observed):
