@@ -420,8 +420,14 @@ def rollout(
     else:
         z_steps = jnp.zeros((num_steps, B, cfg.latent_size), dtype)
 
+    # HUMOR_ROLLOUT_UNROLL: scan unroll factor for the per-step body.
+    # The steps are tiny (1024-wide MLPs at small B), so loop bookkeeping
+    # is a visible fraction; unrolling trades compile time for it.
+    import os as _os
+    unroll = int(_os.environ.get("HUMOR_ROLLOUT_UNROLL", "1"))
     (_, _, _), (world_seq, z_out, pm_seq, pv_seq) = jax.lax.scan(
-        scan_step, (local0, g_rot0, g_trans0), (keys, z_steps))
+        scan_step, (local0, g_rot0, g_trans0), (keys, z_steps),
+        unroll=unroll)
 
     # scan stacks on axis 0 (time); move to (B, T, D)
     world_bt = {k: jnp.swapaxes(v, 0, 1) for k, v in world_seq.items()}
