@@ -124,6 +124,8 @@ def load_planercnn_floor(res_path: str) -> np.ndarray:
 
 @dataclass
 class RGBVideoConfig:
+    # seq_len <= 0 means NO window splitting: the whole clip is one
+    # window (reference fit_rgb_demo_no_split.cfg omits --rgb-seq-len)
     seq_len: int = 60
     overlap_len: int = 10
     img_width: int = 1920
@@ -159,8 +161,10 @@ class RGBVideoDataset:
                     frames[t] = mask_occluded_joints(frames[t], m)
 
         self.num_frames = frames.shape[0]
+        self.seq_len = (cfg.seq_len if cfg.seq_len > 0
+                        else self.num_frames)
         self.intervals, self.overlap = split_overlapping_windows(
-            self.num_frames, cfg.seq_len, cfg.overlap_len)
+            self.num_frames, self.seq_len, cfg.overlap_len)
         self.joints2d = frames
         if cam_mat is None:
             cam_mat = np.asarray(
@@ -176,7 +180,7 @@ class RGBVideoDataset:
         """All windows stacked: {'joints2d' (B, T, 25, 3), 'floor_plane'
         (B, 4), 'cam_f'/'cam_center' (B, 2), 'seq_interval' (B, 2)}.
         Short final windows are zero-confidence padded to T."""
-        T = self.cfg.seq_len if self.num_frames > self.cfg.seq_len \
+        T = self.seq_len if self.num_frames > self.seq_len \
             else self.num_frames
         B = len(self.intervals)
         j2d = np.zeros((B, T, C.OP_NUM_JOINTS, 3), np.float32)

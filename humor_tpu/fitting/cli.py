@@ -106,6 +106,7 @@ def main(argv=None) -> Dict:
         num_iters=tuple(int(n) for n in cfg.num_iters),
         lbfgs_max_linesearch=cfg.lbfgs_max_iter,
         lbfgs_linesearch=cfg.lbfgs_linesearch,
+        lbfgs_candidates=cfg.lbfgs_candidates,
         stage3_tune_init_state=not cfg.stage3_no_tune_init_state,
         stage3_tune_init_num_frames=cfg.stage3_tune_init_num_frames,
         stage3_freeze_start=cfg.stage3_freeze_start,
@@ -208,10 +209,20 @@ def _run_rgb(cfg, models):
                             IMapperConfig(seq_len=cfg.seq_len))
         observed, _ = ds.observation_batch()
     else:
+        cam_mat = None
+        if cfg.rgb_intrinsics:
+            import json as _json
+
+            with open(cfg.rgb_intrinsics) as f:
+                cam_mat = np.asarray(_json.load(f), np.float32)
         ds = RGBVideoDataset(
             cfg.data_path,
-            RGBVideoConfig(seq_len=cfg.seq_len,
-                           overlap_len=cfg.overlap_len))
+            RGBVideoConfig(
+                seq_len=0 if cfg.rgb_no_split else cfg.seq_len,
+                overlap_len=cfg.overlap_len),
+            cam_mat=cam_mat,
+            mask_path=(cfg.mask_path or None) if cfg.mask_joints2d
+            else None)
         observed = ds.observation_batch()
 
     weights = cfg.stage_weights()
@@ -236,6 +247,9 @@ def _run_rgb(cfg, models):
                               joints2d_sigma=cfg.joint2d_sigma,
                               smpl2op_map=_smpl2op_for(models.body)),
         num_iters=tuple(int(n) for n in cfg.num_iters),
+        lbfgs_max_linesearch=cfg.lbfgs_max_iter,
+        lbfgs_linesearch=cfg.lbfgs_linesearch,
+        lbfgs_candidates=cfg.lbfgs_candidates,
         optim_floor=True,
         stage3_tune_init_state=not cfg.stage3_no_tune_init_state,
         stage3_tune_init_num_frames=cfg.stage3_tune_init_num_frames,

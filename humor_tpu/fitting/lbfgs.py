@@ -92,6 +92,10 @@ def run_lbfgs(
     get zero gradient (and therefore zero update). Matches the reference's
     stage-wise variable selection without rebuilding the optimizer.
 
+    `max_linesearch_steps` bounds the ZOOM search's sequential probes;
+    the parallel search's budget is `num_candidates` (its grid size) —
+    each knob applies only to its own search.
+
     Jit-safe: call inside jit, or jit the caller. `num_iters`,
     `history_size`, `max_linesearch_steps`, `linesearch`,
     `num_candidates` are static.

@@ -60,13 +60,14 @@ class TTOConfig:
     )
     energy: E.EnergyConfig = E.EnergyConfig()
     num_iters: Tuple[int, int, int] = (30, 70, 70)
-    lbfgs_max_linesearch: int = 20
+    lbfgs_max_linesearch: int = 20  # zoom search only (probe budget)
     lbfgs_history: int = 10
     # "parallel": speculative vectorized strong-Wolfe search (one vmapped
     # closure eval per iteration — the TTO closures are latency-bound at
     # small B, so K candidates cost ~one eval); "zoom": optax sequential
     # zoom (the reference's torch strong_wolfe semantics, 2-8+ evals/iter)
     lbfgs_linesearch: str = "parallel"
+    lbfgs_candidates: int = 8  # parallel search only (grid size)
     data_fps: float = 30.0
     optim_floor: bool = False
     stage3_tune_init_state: bool = True
@@ -463,7 +464,8 @@ def make_runner(cfg: TTOConfig, models: TTOModels, mesh=None,
         return run_lbfgs(loss_fn, vars_, iters, observed, mask=mask,
                          history_size=cfg.lbfgs_history,
                          max_linesearch_steps=cfg.lbfgs_max_linesearch,
-                         linesearch=cfg.lbfgs_linesearch)
+                         linesearch=cfg.lbfgs_linesearch,
+                         num_candidates=cfg.lbfgs_candidates)
 
     # ---- stage 1/2 losses
     def stage1_loss(v, observed):

@@ -114,10 +114,10 @@ def sched_samp_loss_fn(cfg: H.HumorConfig, loss_cfg: LossConfig,
         B, T = data_in["trans"].shape[:2]
         if cfg.steps_in == 1:
             x_past = H.state_to_input(cfg, data_in)   # (B, T, D_in)
-            init_state = {k: v[:, 0] for k, v in data_in.items()}
         else:
             x_past = H.state_to_input_window(cfg, data_in)  # (B,T,S*D)
-            init_state = {k: v[:, 0] for k, v in data_in.items()}  # (B,S,D)
+        # components (B, D) for steps_in=1, (B, S, D) otherwise
+        init_state = {k: v[:, 0] for k, v in data_in.items()}
         x_t = H.state_to_input(cfg, data_out)
         joint_fn = None
         if use_smpl_joint_inputs:

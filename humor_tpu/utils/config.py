@@ -174,6 +174,8 @@ class FitCLIConfig:
     overlap_len: int = 10
     # RGB pipeline extras (reference fitting/config.py:51,56-57)
     rgb_intrinsics: str = ""   # json [[fx,0,cx],[0,fy,cy],[0,0,1]]
+    rgb_no_split: bool = False  # whole clip as ONE window (reference
+    #                             fit_rgb_demo_no_split.cfg semantics)
     mask_joints2d: bool = False
     mask_path: str = ""        # person-mask pngs for joint occlusion
     # observation modalities
@@ -195,10 +197,11 @@ class FitCLIConfig:
     # optimization
     lr: float = 1.0
     num_iters: Tuple[int, ...] = (30, 80, 70)
-    lbfgs_max_iter: int = 20
+    lbfgs_max_iter: int = 20   # zoom probe budget (zoom search only)
     # "parallel" (speculative vectorized strong-Wolfe, one vmapped eval
     # per iteration) or "zoom" (sequential, reference torch semantics)
     lbfgs_linesearch: str = "parallel"
+    lbfgs_candidates: int = 8  # parallel grid size (parallel only)
     stage3_tune_init_num_frames: int = 15
     stage3_freeze_start: int = 30
     stage3_freeze_end: int = 55

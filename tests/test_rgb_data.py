@@ -84,3 +84,47 @@ def test_video_dataset_batch(tmp_path):
     assert obs["cam_f"].shape == (B, 2)
     assert obs["seq_interval"][0][0] == 0
     assert obs["seq_interval"][-1][1] == n
+
+
+def test_video_dataset_no_split(tmp_path):
+    """seq_len <= 0 = whole clip as ONE window (reference
+    fit_rgb_demo_no_split.cfg semantics: no --rgb-seq-len)."""
+    rng = np.random.RandomState(0)
+    n = 100
+    for t in range(n):
+        _write_keypoints(str(tmp_path), t,
+                         rng.rand(25, 3).astype(np.float32) * 100)
+    ds = R.RGBVideoDataset(str(tmp_path),
+                           R.RGBVideoConfig(seq_len=0, overlap_len=10))
+    obs = ds.observation_batch()
+    assert obs["joints2d"].shape == (1, n, 25, 3)
+    assert tuple(obs["seq_interval"][0]) == (0, n)
+
+
+def test_video_dataset_custom_intrinsics_and_masks(tmp_path):
+    """cam_mat flows into cam_f/cam_center; person masks zero occluded
+    joint confidences (the --rgb-intrinsics / --mask-path CLI plumbing)."""
+    import cv2
+
+    kp_dir = tmp_path / "kp"
+    mask_dir = tmp_path / "masks"
+    kp_dir.mkdir(), mask_dir.mkdir()
+    n = 6
+    kp = np.full((25, 3), 10.0, np.float32)
+    kp[:, 2] = 0.9
+    for t in range(n):
+        _write_keypoints(str(kp_dir), t, kp)
+    # occluder covering all joints in frame 0 only
+    m = np.zeros((32, 32), np.uint8)
+    m[:, :] = 255
+    cv2.imwrite(str(mask_dir / "frame_000000.png"), m)
+    cam = np.asarray([[500.0, 0, 16.0], [0, 400.0, 12.0], [0, 0, 1]],
+                     np.float32)
+    ds = R.RGBVideoDataset(str(kp_dir),
+                           R.RGBVideoConfig(seq_len=0),
+                           cam_mat=cam, mask_path=str(mask_dir))
+    obs = ds.observation_batch()
+    np.testing.assert_allclose(obs["cam_f"][0], [500.0, 400.0])
+    np.testing.assert_allclose(obs["cam_center"][0], [16.0, 12.0])
+    assert np.all(obs["joints2d"][0, 0, :, 2] == 0.0)   # masked frame
+    assert np.all(obs["joints2d"][0, 1:, :, 2] == 0.9)  # untouched
