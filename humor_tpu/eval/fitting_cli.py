@@ -26,6 +26,10 @@ class FitEvalConfig:
     stages: str = "final"   # comma-separated stage names to evaluate
     smplh_root: str = "./body_models/smplh"
     mode: str = "3d"        # '3d' (vs GT joints) | '2d' (plausibility)
+    qual: bool = False      # side-by-side stage-vs-GT comparison gifs
+    #                         (reference eval_fitting_3d.py --qual :251-359)
+    qual_fps: float = 30.0
+    qual_max_seqs: int = 4  # cap rendered sequences (rendering is slow)
 
 
 def _load_seq_dirs(results_dir: str) -> List[str]:
@@ -76,6 +80,51 @@ def evaluate_stage(stage: str, seq_dirs: List[str], body,
     return M.aggregate(per_seq) if per_seq else {}
 
 
+def render_qual(stages: List[str], seq_dirs: List[str], body,
+                out_dir: str, fps: float = 30.0) -> List[str]:
+    """Side-by-side skeleton comparison gifs, one per sequence: each
+    requested stage next to GT (the reference's --qual rendering of
+    HuMoR vs VPoser-t vs GT, eval_fitting_3d.py:251-359 — stage2 IS the
+    VPoser-t baseline, stage3/final the HuMoR result)."""
+    import jax.numpy as jnp
+
+    from humor_tpu.fitting.optimizer import smpl_results
+    from humor_tpu.viz.utils import create_gif, render_comparison_seq
+
+    written = []
+    for d in seq_dirs:
+        seqs, labels = [], []
+        for stage in stages:
+            p = os.path.join(d, f"{stage}_results.npz")
+            if not os.path.exists(p):
+                continue
+            res = dict(np.load(p))
+            pred = smpl_results(
+                body, jnp.asarray(res["trans"])[None],
+                jnp.asarray(res["root_orient"])[None],
+                jnp.asarray(res["pose_body"])[None],
+                jnp.asarray(res["betas"])[None], verts="none")
+            seqs.append(np.asarray(pred["joints3d"][0]))
+            labels.append(stage)
+        gt_path = os.path.join(d, "gt_results.npz")
+        if os.path.exists(gt_path):
+            gt = dict(np.load(gt_path))
+            if "joints3d" in gt:
+                seqs.append(np.asarray(gt["joints3d"]))
+                labels.append("GT")
+        if not seqs:
+            continue
+        name = os.path.basename(d.rstrip("/"))
+        frame_dir = os.path.join(out_dir, "qual", name)
+        frames = render_comparison_seq(seqs, labels, frame_dir,
+                                       prefix=name)
+        gif = create_gif(frames, os.path.join(out_dir, "qual",
+                                              f"{name}.gif"), fps=fps)
+        written.append(gif)
+        print(f"[fit-eval] qual: {gif}")
+    return written
+
+
 def main(argv=None) -> Dict:
     from humor_tpu.eval import metrics as M
     from humor_tpu.fitting.cli import load_models
@@ -104,6 +153,11 @@ def main(argv=None) -> Dict:
         if "joints3d_all" in table:
             print(f"  {stage}: MPJPE "
                   f"{table['joints3d_all']['mean']*1000:.1f}mm")
+
+    if cfg.qual:
+        render_qual([s.strip() for s in cfg.stages.split(",")],
+                    seq_dirs[: cfg.qual_max_seqs], models.body, out_dir,
+                    fps=cfg.qual_fps)
 
     # cross-stage comparison table (reference compare_mean.csv)
     if len(tables) > 1:

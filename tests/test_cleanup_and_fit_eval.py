@@ -61,3 +61,9 @@ def test_fitting_eval_cli(tmp_path):
     assert table["joints3d_all"]["mean"] < 1e-5
     assert "accel_mag" in table
     assert "ground_pen@0.00" in table
+
+    # --qual rendering: one side-by-side comparison gif per sequence
+    # (stage columns + GT; reference eval_fitting_3d.py --qual)
+    from humor_tpu.eval.fitting_cli import render_qual
+    gifs = render_qual(["final"], [str(d)], body, str(tmp_path / "ev"))
+    assert len(gifs) == 1 and os.path.exists(gifs[0])
