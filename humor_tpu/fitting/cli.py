@@ -103,14 +103,15 @@ def main(argv=None) -> Dict:
         energy=E.EnergyConfig(robust_loss=cfg.robust_loss,
                               robust_tuning_const=cfg.robust_tuning_const,
                               joints2d_sigma=cfg.joint2d_sigma),
-        num_iters=tuple(int(n) for n in cfg.num_iters),
+        num_iters=tuple(int(n) * cfg.num_iters_scale
+                        for n in cfg.num_iters),
         lbfgs_max_linesearch=cfg.lbfgs_max_iter,
         lbfgs_linesearch=cfg.lbfgs_linesearch,
         lbfgs_candidates=cfg.lbfgs_candidates,
         stage3_tune_init_state=not cfg.stage3_no_tune_init_state,
         stage3_tune_init_num_frames=cfg.stage3_tune_init_num_frames,
-        stage3_freeze_start=cfg.stage3_freeze_start,
-        stage3_freeze_end=cfg.stage3_freeze_end,
+        stage3_freeze_start=cfg.stage3_freeze_start * cfg.num_iters_scale,
+        stage3_freeze_end=cfg.stage3_freeze_end * cfg.num_iters_scale,
         stage3_contact_refine_only=cfg.stage3_contact_refine_only)
     runner = O.make_runner(tto_cfg, models)
 
@@ -246,15 +247,16 @@ def _run_rgb(cfg, models):
         energy=E.EnergyConfig(robust_loss=cfg.robust_loss,
                               joints2d_sigma=cfg.joint2d_sigma,
                               smpl2op_map=_smpl2op_for(models.body)),
-        num_iters=tuple(int(n) for n in cfg.num_iters),
+        num_iters=tuple(int(n) * cfg.num_iters_scale
+                        for n in cfg.num_iters),
         lbfgs_max_linesearch=cfg.lbfgs_max_iter,
         lbfgs_linesearch=cfg.lbfgs_linesearch,
         lbfgs_candidates=cfg.lbfgs_candidates,
         optim_floor=True,
         stage3_tune_init_state=not cfg.stage3_no_tune_init_state,
         stage3_tune_init_num_frames=cfg.stage3_tune_init_num_frames,
-        stage3_freeze_start=cfg.stage3_freeze_start,
-        stage3_freeze_end=cfg.stage3_freeze_end)
+        stage3_freeze_start=cfg.stage3_freeze_start * cfg.num_iters_scale,
+        stage3_freeze_end=cfg.stage3_freeze_end * cfg.num_iters_scale)
 
     obs_jax = {k: jnp.asarray(v) for k, v in observed.items()}
     t0 = time.time()

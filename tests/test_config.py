@@ -95,3 +95,17 @@ def test_stage_weights_mapping():
     assert (w[0].joints3d, w[1].joints3d, w[2].joints3d) == (1, 2, 3)
     assert w[2].motion_prior == 0.5
     assert w[0].motion_prior == 0.0
+
+
+def test_num_iters_scale_parses():
+    """--num-iters-scale N multiplies every stage budget and the stage-3
+    freeze boundaries (reference effective effort = scale 20, see
+    RESULTS.md iteration-budget semantics)."""
+    from humor_tpu.utils.config import FitCLIConfig, parse_into
+
+    cfg = parse_into(FitCLIConfig, ["--num-iters", "3", "4", "5",
+                                    "--num-iters-scale", "20"],
+                     prog="t")
+    assert cfg.num_iters_scale == 20
+    assert tuple(int(n) * cfg.num_iters_scale for n in cfg.num_iters) \
+        == (60, 80, 100)
