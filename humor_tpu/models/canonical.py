@@ -54,7 +54,7 @@ def _rotate_vecs(rot: jnp.ndarray, flat: jnp.ndarray) -> jnp.ndarray:
     """Apply (..., 3, 3) rotation to packed 3-vectors (..., J*3)."""
     batch_shape = flat.shape[:-1]
     pts = flat.reshape(*batch_shape, -1, 3)
-    out = jnp.einsum("...ij,...nj->...ni", rot, pts, precision=_HI)
+    out = transforms.rotmat_apply(rot, pts)
     return out.reshape(*batch_shape, -1)
 
 
@@ -85,7 +85,7 @@ def apply_world2local(
             batch_shape = val.shape[:-1]
             R = val.reshape(*batch_shape, -1, 3, 3)
             M = Winv if invert else W
-            Rp = jnp.einsum("...ij,...njk->...nik", M, R, precision=_HI)
+            Rp = transforms.rotmat_multiply(M[..., None, :, :], R)
             out[name] = Rp.reshape(*batch_shape, -1)
         elif comp.kind == Kind.POINT:
             if invert:
@@ -98,11 +98,11 @@ def apply_world2local(
             t2j = xform.trans2joint[..., None, :]
             if invert:
                 shifted = pts + t2j
-                rp = jnp.einsum("...ij,...nj->...ni", Winv, shifted, precision=_HI)
+                rp = transforms.rotmat_apply(Winv, shifted)
                 rp = rp - t2j - xform.trans[..., None, :]
             else:
                 shifted = pts + xform.trans[..., None, :] + t2j
-                rp = jnp.einsum("...ij,...nj->...ni", W, shifted, precision=_HI)
+                rp = transforms.rotmat_apply(W, shifted)
                 rp = rp - t2j
             out[name] = rp.reshape(*batch_shape, -1)
         elif comp.kind == Kind.VECTOR:

@@ -175,10 +175,11 @@ def decode(cfg: HumorConfig, params: Dict, z: jnp.ndarray,
                     compute_dtype=cfg.compute_dtype)
     out_parts = cfg.out_spec.unpack(raw)
 
-    # most recent input step, typed
+    # most recent input step, typed (static slice of the packed vector —
+    # a [-1] index would lower to dynamic_slice, which Pallas TPU kernels
+    # tracing this function cannot lower)
     batch_shape = past_in.shape[:-1]
-    last_step = past_in.reshape(*batch_shape, cfg.steps_in,
-                                cfg.input_data_dim)[..., -1, :]
+    last_step = past_in[..., (cfg.steps_in - 1) * cfg.input_data_dim:]
     in_parts = cfg.input_spec.unpack(last_step)
 
     out: Dict[str, jnp.ndarray] = {}
@@ -195,7 +196,7 @@ def decode(cfg: HumorConfig, params: Dict, z: jnp.ndarray,
                 delta_mat = transforms.convert_to_rotmat(val, cfg.out_rot_rep)
                 Rp = prev_mat.reshape(*batch_shape, -1, 3, 3)
                 Rd = delta_mat.reshape(*batch_shape, -1, 3, 3)
-                out[name] = jnp.matmul(Rd, Rp, precision=_HI).reshape(
+                out[name] = transforms.rotmat_multiply(Rd, Rp).reshape(
                     *batch_shape, -1)
             else:
                 out[name] = val + prev

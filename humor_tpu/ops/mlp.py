@@ -59,13 +59,27 @@ def init_mlp(key: jax.Array, widths: Sequence[int], skip_dim: int = 0,
 
 def group_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
                groups: int = GN_GROUPS, eps: float = GN_EPS) -> jnp.ndarray:
-    """GroupNorm over the last axis with per-feature affine."""
+    """GroupNorm over the last axis with per-feature affine.
+
+    Group statistics are computed with a one-hot group-indicator matmul
+    instead of a (..., groups, C/groups) reshape: splitting the minor
+    (lane) dimension is an unsupported shape cast in Mosaic, and this
+    function traces inside the Pallas fused-rollout kernel. The matmuls
+    run at fp32 MXU precision, so the result matches the reshape
+    formulation to f32 summation-order accuracy (~1e-7)."""
     *batch, C = x.shape
-    g = x.reshape(*batch, groups, C // groups)
-    mean = jnp.mean(g, axis=-1, keepdims=True)
-    var = jnp.var(g, axis=-1, keepdims=True)
-    g = (g - mean) * jax.lax.rsqrt(var + eps)
-    return g.reshape(*batch, C) * scale + bias
+    per = C // groups
+    ci = jax.lax.broadcasted_iota(jnp.int32, (C, groups), 0)
+    gi = jax.lax.broadcasted_iota(jnp.int32, (C, groups), 1)
+    G = (ci // per == gi).astype(x.dtype)          # (C, groups) one-hot
+    hi = jax.lax.Precision.HIGHEST
+    # per-group mean, broadcast back to channels: (x @ G) sums each
+    # group, @ G.T scatters the group value to its channels
+    mean = jnp.dot(jnp.dot(x, G, precision=hi), G.T, precision=hi) / per
+    cent = x - mean
+    var = jnp.dot(jnp.dot(cent * cent, G, precision=hi), G.T,
+                  precision=hi) / per
+    return cent * jax.lax.rsqrt(var + eps) * scale + bias
 
 
 def mlp_apply(params: List[dict], x: jnp.ndarray,

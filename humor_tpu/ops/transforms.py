@@ -229,25 +229,47 @@ def convert_to_rotmat(x: jnp.ndarray, rep: str) -> jnp.ndarray:
 # Heading canonicalization
 # ---------------------------------------------------------------------------
 
+def rotmat_multiply(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """Batched 3x3 rotation product A @ B (..., 3, 3) via broadcast
+    multiply-add — exact f32 (no MXU bf16 truncation) and free of
+    dot_general, which Mosaic limits to one batch dimension, so this is
+    safe inside Pallas kernels tracing shared model code."""
+    return jnp.sum(A[..., :, :, None] * B[..., None, :, :], axis=-2)
+
+
+def rotmat_apply(W: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
+    """Rotate point/vector sets: W (..., 3, 3) applied to pts (..., N, 3)
+    -> (..., N, 3), same construction rationale as rotmat_multiply."""
+    return jnp.sum(W[..., None, :, :] * pts[..., :, None, :], axis=-1)
+
+
 def compute_aligned_from_right(body_right: jnp.ndarray) -> jnp.ndarray:
     """Rotation that takes the horizontal projection of `body_right` (..., 3)
     onto the world +x axis, rotating only about world z.
 
-    Equivalent of reference compute_aligned_from_right (transforms.py:17),
-    including the 1e-6-regularized normalizations so imported checkpoints
-    see identical canonical frames.
+    Equivalent of reference compute_aligned_from_right (transforms.py:17)
+    in closed form: the reference's arccos -> cross-product-axis ->
+    Rodrigues round trip always produces Rz(psi) with cos(psi) = bx/h and
+    sin(psi) = by/h (h = |body_right_xy|), so we build that rotation
+    directly. This removes arccos' infinite derivative at aligned
+    headings (the reference's clip only bounds the INPUT) and contains no
+    inverse-trig/array-literal ops, so the function also traces inside
+    the Pallas rollout kernel (Mosaic has neither acos nor atan2).
+    Degenerate vertical headings (h ~ 0) return identity, matching the
+    reference's eps-regularized limit.
     """
-    horiz_norm = jnp.linalg.norm(body_right[..., :2], axis=-1, keepdims=True)
-    cosang = jnp.clip(body_right[..., 0:1] / (horiz_norm + 1e-6), -1.0, 1.0)
-    angle = jnp.arccos(cosang)  # (..., 1)
-
-    flat_right = body_right * jnp.asarray([1.0, 1.0, 0.0], dtype=body_right.dtype)
-    x_axis = jnp.broadcast_to(
-        jnp.asarray([1.0, 0.0, 0.0], dtype=body_right.dtype), flat_right.shape
-    )
-    axis = jnp.cross(flat_right, x_axis)
-    axis = axis / (jnp.linalg.norm(axis, axis=-1, keepdims=True) + 1e-6)
-    return aa_to_rotmat(axis * angle)
+    bx, by = body_right[..., 0:1], body_right[..., 1:2]
+    h = jnp.sqrt(jnp.maximum(bx * bx + by * by, 1e-12))
+    degenerate = h < 1e-6
+    c = jnp.where(degenerate, 1.0, bx / (h + 1e-6))
+    s = jnp.where(degenerate, 0.0, by / (h + 1e-6))
+    zero1 = jnp.zeros_like(c)
+    one1 = jnp.ones_like(c)
+    # rows of Rz(psi): [[c, s, 0], [-s, c, 0], [0, 0, 1]]
+    row0 = jnp.stack([c, s, zero1], axis=-1)
+    row1 = jnp.stack([-s, c, zero1], axis=-1)
+    row2 = jnp.stack([zero1, zero1, one1], axis=-1)
+    return jnp.concatenate([row0, row1, row2], axis=-2)
 
 
 def compute_world2aligned_mat(R: jnp.ndarray) -> jnp.ndarray:

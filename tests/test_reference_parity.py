@@ -70,22 +70,60 @@ def test_rotmat_to_aa_parity():
 
 
 def test_world2aligned_parity():
+    """Our heading canonicalization is the CLOSED FORM Rz of the
+    reference's arccos -> cross-axis -> Rodrigues round trip. The
+    reference's axis normalization (axis/(|axis|+1e-6)) shrinks the
+    rotation angle by a factor |by|/(|by|+1e-6), an O(1e-6/|by|) bias
+    for headings nearly parallel to x (|by| small). We assert exact
+    parity where that bias is below tolerance and the documented
+    closed-form bound elsewhere (deliberate deviation — see
+    compute_aligned_from_right's docstring)."""
     aa = _rand_aa(64, scale=1.0, seed=4)
     R = np.asarray(T.aa_to_rotmat(jnp.asarray(aa)))
     ours = np.asarray(T.compute_world2aligned_mat(jnp.asarray(R)))
     ref = RT.compute_world2aligned_mat(
         torch.from_numpy(R.reshape(-1, 3, 3))).numpy()
-    np.testing.assert_allclose(ours, ref, atol=2e-5)
+    body_right = -R[:, :, 0]
+    by = np.abs(body_right[:, 1])
+    well_cond = by > 0.05   # reference angle bias < ~2e-5 rad here
+    np.testing.assert_allclose(ours[well_cond], ref[well_cond], atol=5e-5)
+    # near the reference's degenerate band: bounded by its own eps bias
+    # two eps sources: axis-normalization (angle x by/(by+1e-6)) and the
+    # cos division (d arccos amplifies by 1/|sin|) — both O(1e-6/by)
+    ang_bias = 2.0 * (np.pi + 1.0) * 1e-6 / np.maximum(by, 1e-7)
+    np.testing.assert_array_less(
+        np.abs(ours - ref).reshape(len(by), -1).max(-1),
+        np.maximum(ang_bias, 5e-5) + 1e-3 * (by < 1e-4))
+    # and ours is always an exact Rz: orthonormal, z-row/col = e_z
+    eye = np.einsum("bij,bkj->bik", ours, ours)
+    # c,s share the reference's (h + 1e-6) denominator, so c^2+s^2 =
+    # 1 - O(2e-6/h): near-orthonormal, not exactly
+    np.testing.assert_allclose(
+        eye, np.broadcast_to(np.eye(3), eye.shape), atol=1e-4)
+    np.testing.assert_allclose(
+        ours[:, 2, :], np.broadcast_to([0.0, 0.0, 1.0], (len(ours), 3)),
+        atol=1e-6)
 
 
 def test_world2aligned_joints_parity():
+    """Same eps-bias scoping as test_world2aligned_parity (the closed
+    form deviates from the reference only inside its O(1e-6/|by|)
+    regularization band)."""
     rng = np.random.RandomState(5)
     joints = rng.randn(16, 22, 3).astype(np.float32)
     ours = np.asarray(T.compute_world2aligned_joints_mat(
         jnp.asarray(joints)))
     ref = RT.compute_world2aligned_joints_mat(
         torch.from_numpy(joints)).numpy()
-    np.testing.assert_allclose(ours, ref, atol=2e-5)
+    right = joints[:, 2] - joints[:, 1]
+    right = right / np.linalg.norm(right, axis=-1, keepdims=True)
+    by = np.abs(right[:, 1])
+    well_cond = by > 0.05
+    np.testing.assert_allclose(ours[well_cond], ref[well_cond], atol=5e-5)
+    ang_bias = 2.0 * (np.pi + 1.0) * 1e-6 / np.maximum(by, 1e-7)
+    np.testing.assert_array_less(
+        np.abs(ours - ref).reshape(len(by), -1).max(-1),
+        np.maximum(ang_bias, 5e-5) + 1e-3 * (by < 1e-4))
 
 
 def test_kl_and_lognormal_parity():

@@ -117,9 +117,26 @@ class TestHeadingAlignment:
                                    atol=1e-4)
 
     def test_identity_when_aligned(self):
-        R = jnp.broadcast_to(jnp.eye(3), (3, 3, 3))
+        # body_right = -R[:, :, 0] = +x, already canonical -> W = I
+        Rz_pi = np.asarray([[-1.0, 0, 0], [0, -1.0, 0], [0, 0, 1.0]],
+                           np.float32)
+        W = T.compute_world2aligned_mat(
+            jnp.broadcast_to(jnp.asarray(Rz_pi), (3, 3, 3)))
+        np.testing.assert_allclose(W, np.broadcast_to(np.eye(3), (3, 3, 3)),
+                                   atol=1e-5)
+
+    def test_backward_heading_canonicalizes(self):
+        """body_right exactly along -x (by = 0): the closed form returns
+        Rz(pi) — a real canonicalization. (Deliberate deviation from the
+        reference, whose cross-product axis collapses to zero there and
+        silently SKIPS canonicalizing inside a 1e-6-wide band — see
+        compute_aligned_from_right docstring.)"""
+        R = jnp.broadcast_to(jnp.eye(3), (2, 3, 3))  # body_right = -x
         W = T.compute_world2aligned_mat(R)
-        np.testing.assert_allclose(W, R, atol=1e-3)
+        aligned_right = -(W @ R)[:, :, 0]
+        np.testing.assert_allclose(aligned_right[:, 0], 1.0, atol=1e-5)
+        np.testing.assert_allclose(W @ jnp.asarray([0.0, 0.0, 1.0]),
+                                   np.tile([0.0, 0, 1], (2, 1)), atol=1e-6)
 
 
 class TestConvert:
