@@ -218,7 +218,10 @@ def main():
         ours = ours * scale
     try:
         ref = bench_reference_style(quick=args.quick)
-        vs = ref / ours
+        # the torch-CPU baseline is measured at B=2; normalize both sides
+        # to per-window time so vs_baseline stays apples-to-apples at any
+        # --batch
+        vs = (ref / B) / (ours / args.batch)
     except Exception:
         ref, vs = float("nan"), float("nan")
     out = {

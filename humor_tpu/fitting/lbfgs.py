@@ -118,6 +118,11 @@ def run_lbfgs(
                                    num_candidates)
         opt_init = step.opt_init
         extra0 = (jnp.asarray(1.0),)  # previously accepted step size
+    elif linesearch == "armijo":
+        step = _make_armijo_step(value_fn, vg, args, mask, history_size,
+                                 num_candidates)
+        opt_init = step.opt_init
+        extra0 = (jnp.asarray(1.0),)
     else:
         raise ValueError(f"unknown linesearch {linesearch!r}")
 
@@ -286,6 +291,96 @@ def _make_parallel_step(value_fn, vg, args, mask, history_size,
             _accept_or_restart(ok, new_params, params, new_value, value,
                                new_grads, grads, new_opt_state,
                                opt.init(params))
+        # a non-Wolfe accept (best finite descent point, no curvature
+        # condition) can produce an s/y pair with y·s <= 0; optax's
+        # scale_by_lbfgs only guards vdot == 0, so such a pair would make
+        # the inverse-Hessian estimate indefinite. Keep the STEP but drop
+        # its pair: restart the curvature memory from the accepted point
+        # unless the step passed strong Wolfe. (When ok is False,
+        # new_params == params, so this coincides with the safeguard's
+        # restart.)
+        keep_memory = ok & jnp.any(wolfe)
+        fresh_at_new = opt.init(new_params)
+        new_opt_state = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(keep_memory, a, b)
+            if hasattr(a, "dtype") else a,
+            new_opt_state, fresh_at_new)
+        alpha_next = jnp.where(ok, a_sel, jnp.asarray(1.0))
+        return (new_params, new_opt_state, best_params, best_val,
+                new_value, new_grads, alpha_next), value
+
+    return _Step(step, opt.init)
+
+
+def _make_armijo_step(value_fn, vg, args, mask, history_size,
+                      num_candidates):
+    """Value-only speculative search (perf candidate #2, RESULTS.md):
+    the candidate grid is evaluated WITHOUT gradients (about half the
+    per-candidate cost of the full parallel search — no reverse pass over
+    the rollout), the largest Armijo-satisfying candidate is taken, and
+    ONE value_and_grad runs at the accepted point to feed the next
+    iteration. The accepted point's gradient then applies the curvature
+    condition retroactively: non-Wolfe steps keep the move but reset the
+    L-BFGS memory (same policy as the parallel search)."""
+    opt = optax.chain(
+        optax.scale_by_lbfgs(memory_size=history_size),
+        optax.scale(-1.0),
+    )
+    mults = _candidate_multipliers(max(num_candidates - 1, 2))
+
+    def step(carry, _):
+        (params, opt_state, best_params, best_val, value, grads,
+         alpha_prev) = carry
+        best_params, best_val = _track_best(params, value, best_params,
+                                            best_val)
+
+        direction, new_opt_state = opt.update(
+            grads, opt_state, params, value=value, grad=grads)
+        direction = _masked(direction, mask)
+        g0d = _vdot(grads, direction)
+
+        alphas = jnp.concatenate(
+            [jnp.clip(alpha_prev * mults, 1e-8, 1e4), jnp.ones((1,))])
+        alphas = jnp.sort(alphas)[::-1]
+
+        def value_at(a):
+            p = jax.tree_util.tree_map(
+                lambda pp, dd: pp + a.astype(pp.dtype) * dd,
+                params, direction)
+            return value_fn(p, *args)
+
+        vals = jax.vmap(value_at)(alphas)
+        finite = jnp.isfinite(vals)
+        armijo = finite & (vals <= value + _C1 * alphas * g0d)
+        idx_armijo = jnp.argmax(armijo)   # largest passing alpha
+        idx_desc = jnp.argmin(jnp.where(finite, vals, jnp.inf))
+        idx = jnp.where(jnp.any(armijo), idx_armijo, idx_desc)
+
+        a_sel = alphas[idx]
+        new_params = jax.tree_util.tree_map(
+            lambda pp, dd: pp + a_sel.astype(pp.dtype) * dd,
+            params, direction)
+        # one full evaluation at the accepted point (the next iteration's
+        # value+grad — would be needed anyway)
+        new_value, new_grads = vg(new_params, *args)
+        new_grads = _masked(new_grads, mask)
+        gkd = _vdot(new_grads, direction)
+        curvature = jnp.abs(gkd) <= _C2 * jnp.abs(g0d)
+
+        tol = 1e-4 * jnp.abs(value) + 1e-8
+        ok = jnp.isfinite(new_value) & (new_value <= value + tol) \
+            & jnp.isfinite(optax.global_norm(direction))
+
+        new_params, new_opt_state, new_value, new_grads = \
+            _accept_or_restart(ok, new_params, params, new_value, value,
+                               new_grads, grads, new_opt_state,
+                               opt.init(params))
+        keep_memory = ok & jnp.any(armijo) & curvature
+        fresh_at_new = opt.init(new_params)
+        new_opt_state = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(keep_memory, a, b)
+            if hasattr(a, "dtype") else a,
+            new_opt_state, fresh_at_new)
         alpha_next = jnp.where(ok, a_sel, jnp.asarray(1.0))
         return (new_params, new_opt_state, best_params, best_val,
                 new_value, new_grads, alpha_next), value

@@ -108,6 +108,15 @@ def slice_observations(observed: Dict[str, jnp.ndarray],
             for k, v in observed.items()}
 
 
+def batch_size_of(observed: Dict[str, Any]) -> int:
+    """Window-batch size from any top-level array value (nested dicts
+    like 'prev_batch_overlap_res' make `next(iter(observed))`
+    order-dependent, and their leaves carry the PREVIOUS batch's size)."""
+    top = {k: v for k, v in observed.items()
+           if k != "prev_batch_overlap_res"}
+    return jax.tree_util.tree_leaves(top)[0].shape[0]
+
+
 def verts_mode_for(observed) -> str:
     """Cheapest vertex set the energies actually read, by observed keys:
     'full' (point-cloud chamfer needs all verts), 'keypt' (43-keypoint
@@ -660,7 +669,7 @@ def make_runner(cfg: TTOConfig, models: TTOModels, mesh=None,
 
     def _pipeline(observed):
         """The ENTIRE 3-stage fit as one traced program (fused path)."""
-        B = observed[next(iter(observed))].shape[0]
+        B = batch_size_of(observed)
         variables = init_variables(cfg, models, B, observed)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -719,7 +728,7 @@ def make_runner(cfg: TTOConfig, models: TTOModels, mesh=None,
                 _marks.append((label, _time.perf_counter()))
 
         _mark("start", observed)
-        B = observed[next(iter(observed))].shape[0]
+        B = batch_size_of(observed)
         if mesh is not None:
             # window batch shards over devices; cross-batch carries are
             # replicated (they have no batch dim)

@@ -77,3 +77,27 @@ def test_has_aux_stats():
     res = run_lbfgs(loss, {"x": jnp.ones(4)}, num_iters=10, has_aux=True)
     assert isinstance(res, LbfgsResult)
     assert np.asarray(res.stats_history["l2"]) < 1e-6
+
+
+def test_armijo_matches_zoom_quality():
+    """The value-only Armijo speculative search (one grad eval per
+    iteration instead of K) must also reach the zoom optima at equal
+    iteration budget."""
+    A = jnp.asarray(np.diag([1.0, 10.0, 100.0]), jnp.float32)
+    b = jnp.asarray([1.0, -2.0, 3.0], jnp.float32)
+
+    def quad(p):
+        x = p["x"]
+        return 0.5 * x @ A @ x - b @ x
+
+    def rosen(p):
+        x, y = p["xy"][0], p["xy"][1]
+        return (1 - x) ** 2 + 100.0 * (y - x * x) ** 2
+
+    for loss, init, iters in (
+            (quad, {"x": jnp.zeros(3)}, 30),
+            (rosen, {"xy": jnp.asarray([-1.2, 1.0])}, 80)):
+        rz = run_lbfgs(loss, init, num_iters=iters, linesearch="zoom")
+        ra = run_lbfgs(loss, init, num_iters=iters, linesearch="armijo")
+        assert float(ra.loss) <= float(rz.loss) + 1e-5, (
+            f"armijo {float(ra.loss)} worse than zoom {float(rz.loss)}")
