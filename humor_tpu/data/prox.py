@@ -35,6 +35,55 @@ def gender_of_subject(subject_id: int) -> str:
     return "female" if subject_id in FEMALE_SUBJECTS else "male"
 
 
+# PROX/PROXD pickle key -> our naming (reference prox_dataset.py:34-40);
+# 'betas' appears under two names across the releases
+SMPL_NAME_MAP = {"transl": "trans", "beta": "betas", "betas": "betas",
+                 "body_pose": "pose_body", "global_orient": "root_orient"}
+SMPL_SIZES = {"trans": 3, "betas": 10, "pose_body": 63, "root_orient": 3}
+
+
+def read_fitting_seq(fitting_paths: List[str], return_valid: bool = False):
+    """Read a sequence of PROX/PROXD per-frame SMPL fit pickles into one
+    stacked dict (reference read_fitting_seq, prox_dataset.py:52-89):
+    missing files and fits containing non-finite values are dummy-filled
+    with zeros and flagged invalid. Returns {trans (T, 3), betas (T, 10),
+    pose_body (T, 63), root_orient (T, 3)} (+ valid bool list)."""
+    import pickle
+
+    fit = {k: [] for k in SMPL_SIZES}
+    valid: List[bool] = []
+    for fpath in fitting_paths:
+        if not os.path.exists(fpath):
+            print(f"No PROX results exist for {fpath}, filling with "
+                  "dummy zeros!")
+            for k, size in SMPL_SIZES.items():
+                fit[k].append(np.zeros((size,), np.float32))
+            valid.append(False)
+            continue
+        with open(fpath, "rb") as f:
+            param = pickle.load(f, encoding="latin1")
+        cur_valid = True
+        seen = set()
+        for key, name in SMPL_NAME_MAP.items():
+            if key not in param or name in seen:
+                continue
+            seen.add(name)
+            arr = np.asarray(param[key], np.float32).reshape(-1)
+            cur_valid = cur_valid and bool(np.isfinite(arr).all())
+            fit[name].append(arr if cur_valid
+                             else np.zeros((SMPL_SIZES[name],), np.float32))
+        if not cur_valid:
+            print(f"PROX results nan for {fpath}, filling with dummy "
+                  "zeros!")
+        valid.append(cur_valid)
+    out = {k: np.stack(v).astype(np.float32) if v
+           else np.zeros((0, SMPL_SIZES[k]), np.float32)
+           for k, v in fit.items()}
+    if return_valid:
+        return out, valid
+    return out
+
+
 class Projection:
     """Kinect calibration: unproject depth to 3D, project to color frame
     (reference Projection :443-548)."""
@@ -168,6 +217,9 @@ class ProxConfig:
     flip: bool = True          # PROX images are mirrored
     img_width: int = 1920
     img_height: int = 1080
+    # load PROXD (qualitative) / MoSh (quantitative) per-frame SMPL fits
+    # as pseudo-GT (reference prox_dataset.py:111-147 return_fitting)
+    load_fitting: bool = False
 
 
 class ProxDataset:
@@ -176,9 +228,20 @@ class ProxDataset:
     <cam>/ {IR,Color}.json."""
 
     def __init__(self, recording_dir: str, calib_dir: str,
-                 cfg: ProxConfig, cam_mat: Optional[np.ndarray] = None):
+                 cfg: ProxConfig, cam_mat: Optional[np.ndarray] = None,
+                 fitting_root: Optional[str] = None):
         self.cfg = cfg
         self.recording_dir = recording_dir
+        # default pseudo-GT location in the public layout:
+        # <dataset>/fittings/{mosh|proxd}/<rec>/results/<frame>/000.pkl
+        if fitting_root is None and cfg.load_fitting:
+            base = osp.dirname(osp.dirname(recording_dir.rstrip("/")))
+            for sub in ("mosh", "proxd"):
+                cand = osp.join(base, "fittings", sub)
+                if osp.isdir(cand):
+                    fitting_root = cand
+                    break
+        self.fitting_root = fitting_root
         self.projection = (Projection(calib_dir)
                            if osp.isdir(calib_dir) else None)
         keyp_paths = sorted(glob.glob(
@@ -215,6 +278,34 @@ class ProxDataset:
             out["cam_center"] = np.tile([cx, cy], (B, 1)).astype(np.float32)
         if self.cfg.use_depth and self.projection is not None:
             out["points3d"] = self._depth_clouds(T)
+        return out
+
+    def fitting_batch(self) -> Optional[Dict[str, np.ndarray]]:
+        """Windowed PROXD/MoSh pseudo-GT SMPL fits aligned to the
+        observation windows (reference prox_dataset.py:233-241 path
+        construction + :313-317 gt_data merge): returns {trans (B, T, 3),
+        betas (B, T, 10), pose_body (B, T, 63), root_orient (B, T, 3),
+        valid (B, T) bool} or None when no fitting root is configured.
+        Frames without a fit (or with non-finite fits) are zero dummies
+        with valid=False — the reference's dummy-fill contract."""
+        if self.fitting_root is None or not self.keyp_paths:
+            return None
+        rec_name = osp.basename(self.recording_dir.rstrip("/"))
+        frame_names = ["_".join(osp.basename(p).split("_")[:-1])
+                       for p in self.keyp_paths]
+        paths = [osp.join(self.fitting_root, rec_name, "results", f,
+                          "000.pkl") for f in frame_names]
+        fits, valid = read_fitting_seq(paths, return_valid=True)
+        valid = np.asarray(valid, bool)
+        T = min(self.cfg.seq_len, max(self.num_frames, 1))
+        B = len(self.intervals)
+        out = {k: np.zeros((B, T) + v.shape[1:], np.float32)
+               for k, v in fits.items()}
+        out["valid"] = np.zeros((B, T), bool)
+        for b, (s, e) in enumerate(self.intervals):
+            for k, v in fits.items():
+                out[k][b, : e - s] = v[s:e]
+            out["valid"][b, : e - s] = valid[s:e]
         return out
 
     def _depth_clouds(self, T: int) -> np.ndarray:

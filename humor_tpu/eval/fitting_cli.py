@@ -26,6 +26,7 @@ class FitEvalConfig:
     stages: str = "final"   # comma-separated stage names to evaluate
     smplh_root: str = "./body_models/smplh"
     mode: str = "3d"        # '3d' (vs GT joints) | '2d' (plausibility)
+    #                         | 'prox' (vs PROXD/MoSh pseudo-GT fits)
     qual: bool = False      # side-by-side stage-vs-GT comparison gifs
     #                         (reference eval_fitting_3d.py --qual :251-359)
     qual_fps: float = 30.0
@@ -73,11 +74,41 @@ def evaluate_stage(stage: str, seq_dirs: List[str], body,
             od = {"joints3d": jnp.asarray(obs["joints3d"])} \
                 if "joints3d" in obs else {}
             per_seq.append(M.quant_eval_3d(pd, gd, od))
+        elif mode == "prox" and "pose_body" in gt and "valid" in gt:
+            # PROXD/MoSh pseudo-GT SMPL fits (10 betas, per frame) ->
+            # joints via our body model, dummy frames masked out
+            gt_j = _pseudo_gt_joints(body, gt)
+            per_seq.append(M.quant_eval_prox(
+                pred_j, gt_j, np.asarray(gt["valid"], bool),
+                floor_plane=res.get("floor_plane")))
         else:
             floor = res.get("floor_plane")
             per_seq.append(M.quant_eval_2d(
                 pred_j, floor_plane=floor))
     return M.aggregate(per_seq) if per_seq else {}
+
+
+def _pseudo_gt_joints(body, gt: Dict[str, np.ndarray]) -> "np.ndarray":
+    """SMPL joints (T, 22, 3) from a PROX pseudo-GT fit dict with
+    per-frame 10-d betas (zero-padded to the model's beta count)."""
+    import jax.numpy as jnp
+
+    from humor_tpu.body_model import constants as C
+    from humor_tpu.body_model import smpl as smpl_lib
+
+    trans = np.asarray(gt["trans"], np.float32)
+    T = trans.shape[0]
+    betas = np.asarray(gt["betas"], np.float32).reshape(T, -1)
+    nb = body.num_betas
+    padded = np.zeros((T, nb), np.float32)
+    k = min(nb, betas.shape[1])
+    padded[:, :k] = betas[:, :k]
+    out = smpl_lib.forward(
+        body, jnp.asarray(np.asarray(gt["root_orient"], np.float32)),
+        jnp.asarray(np.asarray(gt["pose_body"], np.float32)),
+        jnp.asarray(padded), jnp.asarray(trans),
+        vert_ids=np.zeros((0,), np.int32))
+    return jnp.asarray(out.Jtr[:, : C.NUM_SMPL_JOINTS])
 
 
 def render_qual(stages: List[str], seq_dirs: List[str], body,

@@ -12,6 +12,7 @@ tiny). No per-frame .item() round trips.
 
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Optional, Tuple
 
 import jax.numpy as jnp
@@ -23,6 +24,32 @@ from humor_tpu.fitting.geometry import compute_plane_intersection
 GRND_PEN_THRESH_LIST = [0.0, 0.03, 0.06, 0.09, 0.12, 0.15]
 DATA_FPS = 30.0
 DATA_H = 1.0 / DATA_FPS
+IMW, IMH = 1920, 1080   # all i3DB/PROX data (reference eval_utils.py:21)
+
+# Benchmark-table skip lists (reference eval_utils.py:27-65): sequences
+# where a BASELINE method fails catastrophically are excluded from the
+# quantitative comparison for every method.
+# MVAE does not converge on these AMASS sequences:
+AMASS_EVAL_BLACKLIST = [
+    "HumanEva_S1_Box_1_poses_548_frames_30_fps",
+    "HumanEva_S1_Box_3_poses_330_frames_30_fps",
+    "HumanEva_S1_Gestures_1_poses_594_frames_30_fps",
+]
+# PROX-D fails on these PROX sub-sequences:
+RGBD_EVAL_BLACKLIST = (
+    [f"MPH1Library_00145_01_{i:04d}" for i in range(20, 29)]
+    + [f"N0Sofa_03403_01_{i:04d}" for i in range(0, 15)]
+)
+# VIBE fails on these:
+RGB_EVAL_BLACKLIST = ["MPH1Library_00145_01_0031", "N0Sofa_03403_01_0013"]
+
+
+def filter_blacklisted(seq_names, blacklist) -> List:
+    """Drop blacklisted sequence names (exact or prefix match — windowed
+    results append suffixes to the recording name)."""
+    return [n for n in seq_names
+            if not any(os.path.basename(str(n)).startswith(b)
+                       for b in blacklist)]
 
 _J = C.SMPL_JOINTS
 EE_SUBSET = [_J["leftFoot"], _J["rightFoot"], _J["leftToeBase"],
@@ -187,15 +214,46 @@ def to_comparison_skeleton(joints: jnp.ndarray,
     return joints[..., idx, :]
 
 
+def occlusion_from_masks(gt_joints: np.ndarray,      # (T, J, 3) cam frame
+                         masks: np.ndarray,          # (T, H, W) 0/1
+                         cam_intrins,                # (fx, fy, cx, cy)
+                         ) -> np.ndarray:
+    """Per-GT-joint occlusion by projecting each joint into the frame's
+    occluder mask (reference eval_utils.py:199-269: round the pinhole
+    projection to pixel coordinates, clamp to the image, and read the
+    mask — 1 means the joint lands on an occluding object). Returns
+    (T, J) bool; non-finite GT joints come back False (they are dropped
+    by the validity mask upstream)."""
+    g = np.asarray(gt_joints, np.float64)
+    T, J = g.shape[:2]
+    H, W = np.asarray(masks).shape[-2:]
+    fx, fy, cx, cy = [float(v) for v in cam_intrins]
+    finite = np.isfinite(g).all(axis=-1)           # (T, J)
+    safe = np.where(finite[..., None], g, 1.0)
+    z = np.where(np.abs(safe[..., 2]) < 1e-9, 1e-9, safe[..., 2])
+    u = np.clip(np.round(fx * safe[..., 0] / z + cx).astype(int), 0, W - 1)
+    v = np.clip(np.round(fy * safe[..., 1] / z + cy).astype(int), 0, H - 1)
+    m = np.asarray(masks).reshape(T, H, W)
+    occ = m[np.arange(T)[:, None], v, u] == 1
+    return occ & finite
+
+
 def quant_eval_2d(pred_joints_smpl: jnp.ndarray,   # (T, 22, 3) camera frame
                   gt_joints_imap: Optional[jnp.ndarray] = None,  # (T,16,3)
                   floor_plane: Optional[jnp.ndarray] = None,     # (4,)
                   occlusions: Optional[jnp.ndarray] = None,      # (T, 16)
+                  vis_masks: Optional[np.ndarray] = None,        # (T, H, W)
+                  cam_intrins=None,                # (fx, fy, cx, cy)
                   ) -> Dict[str, np.ndarray]:
     """RGB fitting eval (reference eval_fitting_2d.py / eval_utils.py
     :137-288): iMapper comparison-skeleton MPJPE (global + root-aligned,
     all/ee/legs, vis/occ split) when GT is given; plausibility (accel +
-    ground penetration vs the predicted floor) always."""
+    ground penetration vs the predicted floor) always.
+
+    The vis/occ split uses dataset-provided per-joint `occlusions` flags
+    when available, else determines occlusion by projecting GT joints
+    into `vis_masks` with `cam_intrins` (the reference's only signal on
+    real i3DB data, eval_utils.py:199-269)."""
     out: Dict[str, np.ndarray] = {}
 
     if gt_joints_imap is not None:
@@ -211,9 +269,14 @@ def quant_eval_2d(pred_joints_smpl: jnp.ndarray,   # (T, 22, 3) camera frame
         gt_a = gt_safe - gt_safe[:, COMP_ROOT_IDX: COMP_ROOT_IDX + 1]
         err_a = np.asarray(positional_errors(pred_a, gt_a))
         out["joints3d_comp_align"] = err_a[valid]
+        occ = None
         if occlusions is not None:
             occ = np.asarray(occlusions)[
                 :, np.asarray(IMAP2COMPARE)].astype(bool)
+        elif vis_masks is not None and cam_intrins is not None:
+            occ = occlusion_from_masks(np.asarray(gt_c), vis_masks,
+                                       cam_intrins)
+        if occ is not None:
             out["joints3d_comp_vis"] = err[valid & ~occ]
             out["joints3d_comp_occ"] = err[valid & occ]
 
@@ -227,6 +290,33 @@ def quant_eval_2d(pred_joints_smpl: jnp.ndarray,   # (T, 22, 3) camera frame
         key = f"ground_pen@{t:.2f}"
         out[key] = np.asarray([c])
         out[key + "_cnt"] = np.asarray([total])
+    return out
+
+
+def quant_eval_prox(pred_joints: jnp.ndarray,        # (T, 22, 3) cam frame
+                    gt_joints: jnp.ndarray,          # (T, 22, 3) pseudo-GT
+                    valid: np.ndarray,               # (T,) bool
+                    floor_plane: Optional[jnp.ndarray] = None,
+                    ) -> Dict[str, np.ndarray]:
+    """PROX quantitative eval vs PROXD/MoSh pseudo-GT SMPL fits: joint
+    position errors (all/ee/legs) restricted to frames with a valid
+    pseudo-GT fit (the reference's dummy-fill + valid contract,
+    prox_dataset.py:52-89), plus the plausibility metrics (accel + ground
+    penetration) over the FULL predicted sequence."""
+    valid = np.asarray(valid, bool)
+    out = quant_eval_2d(pred_joints, floor_plane=floor_plane)
+    if valid.any():
+        p, g = pred_joints[valid], gt_joints[valid]
+        out["joints3d_all"] = np.asarray(
+            positional_errors(p, g)).reshape(-1)
+        out["joints3d_ee"] = np.asarray(
+            subset_joint_err(p, g, "ee")).reshape(-1)
+        out["joints3d_legs"] = np.asarray(
+            subset_joint_err(p, g, "legs")).reshape(-1)
+        # root-aligned variant (local pose quality independent of the
+        # global registration of the pseudo-GT)
+        out["joints3d_align_all"] = np.asarray(positional_errors(
+            align_to_root(p), align_to_root(g))).reshape(-1)
     return out
 
 

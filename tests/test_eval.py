@@ -91,3 +91,59 @@ def test_accel_mag():
     joints[:, :, 0] = 0.5 * 2.0 * t[:, None] ** 2
     mag = M.joint_accel_mag(jnp.asarray(joints))
     np.testing.assert_allclose(np.asarray(mag), 2.0, rtol=1e-3)
+
+
+def test_occlusion_from_masks():
+    """Reference eval_utils.py:199-269: a GT joint projecting into a
+    mask==1 pixel is occluded; outside-frame projections clamp."""
+    from humor_tpu.eval import metrics as M
+
+    H, W = 10, 20
+    fx = fy = 10.0
+    cx, cy = W / 2.0, H / 2.0
+    masks = np.zeros((2, H, W), np.uint8)
+    masks[:, :, : W // 2] = 1  # left half of the image occludes
+    # joint A: x=-0.5, z=1 -> u = 10*-0.5+10 = 5  (left half: occluded)
+    # joint B: x=+0.5, z=1 -> u = 15 (right half: visible)
+    # joint C: inf GT -> never occluded
+    g = np.asarray([[[-0.5, 0.0, 1.0], [0.5, 0.0, 1.0],
+                     [np.inf, np.inf, np.inf]]] * 2, np.float64)
+    occ = M.occlusion_from_masks(g, masks, (fx, fy, cx, cy))
+    assert occ.shape == (2, 3)
+    np.testing.assert_array_equal(occ, [[True, False, False]] * 2)
+
+
+def test_quant_eval_2d_mask_occlusion_split():
+    from humor_tpu.eval import metrics as M
+
+    T = 3
+    rng = np.random.RandomState(0)
+    pred = rng.randn(T, 22, 3).astype(np.float32) + [0, 0, 3.0]
+    gt16 = rng.randn(T, 16, 3).astype(np.float32) + [0, 0, 3.0]
+    H, W = 8, 8
+    masks = np.zeros((T, H, W), np.uint8)
+    # no flags given: split must come from the masks
+    out = M.quant_eval_2d(jnp.asarray(pred), jnp.asarray(gt16),
+                          vis_masks=masks,
+                          cam_intrins=(5.0, 5.0, 4.0, 4.0))
+    assert "joints3d_comp_vis" in out and "joints3d_comp_occ" in out
+    # empty masks -> nothing occluded
+    assert out["joints3d_comp_occ"].size == 0
+    assert out["joints3d_comp_vis"].size == out["joints3d_comp_all"].size
+    # full masks -> everything occluded
+    out2 = M.quant_eval_2d(jnp.asarray(pred), jnp.asarray(gt16),
+                           vis_masks=np.ones_like(masks),
+                           cam_intrins=(5.0, 5.0, 4.0, 4.0))
+    assert out2["joints3d_comp_vis"].size == 0
+
+
+def test_eval_blacklists():
+    from humor_tpu.eval import metrics as M
+
+    names = ["HumanEva_S1_Box_1_poses_548_frames_30_fps",
+             "CMU_01_01_poses", "N0Sofa_03403_01_0004_win3",
+             "MPH1Library_00145_01_0031"]
+    assert M.filter_blacklisted(names, M.AMASS_EVAL_BLACKLIST) == names[1:]
+    assert M.filter_blacklisted(names, M.RGBD_EVAL_BLACKLIST) == [
+        names[0], names[1], names[3]]
+    assert M.filter_blacklisted(names, M.RGB_EVAL_BLACKLIST) == names[:3]
