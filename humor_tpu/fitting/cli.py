@@ -144,17 +144,39 @@ def main(argv=None) -> Dict:
                 for sname, sres in res.per_stage.items():
                     R.save_stage_results(cfg.out, sname, sres, names)
 
-        # quant eval vs GT
+        # quant eval vs GT: the reference's full per-stage metric set —
+        # joints + 43-keypoint verts + full mesh (eval_utils.py:71-134).
+        # GT verts/mesh come from a GT SMPL pass with the dataset betas
+        # (eval_fitting_3d.py gt body evaluation).
+        from humor_tpu.ops import transforms as _tf
+
         pred = smpl_results(models.body, res.final["trans"],
                             res.final["root_orient"],
                             res.final["pose_body"], res.final["betas"])
+        Bc, Tc = np.asarray(gt["trans"]).shape[:2]
+        gt_root = jnp.asarray(gt["root_orient"])
+        gt_pose = jnp.asarray(gt["pose_body"])
+        if gt_root.shape[-1] == 9:   # windows view carries matrices
+            gt_root = _tf.rotmat_to_aa(gt_root.reshape(Bc, Tc, 3, 3))
+            gt_pose = _tf.rotmat_to_aa(
+                gt_pose.reshape(Bc, Tc, -1, 3, 3)).reshape(Bc, Tc, -1)
+        gt_betas = (jnp.asarray(meta["betas"], jnp.float32)
+                    if isinstance(meta, dict) and "betas" in meta
+                    else res.final["betas"])
+        gt_smpl = smpl_results(models.body, jnp.asarray(gt["trans"]),
+                               gt_root, gt_pose, gt_betas)
         for b in range(cfg.batch_size):
-            m = M.quant_eval_3d(
-                {"joints3d": pred["joints3d"][b]},
-                {"joints3d": jnp.asarray(gt["joints3d"][b])},
-                {"joints3d": obs_jax.get("joints3d", jnp.full((1, 1, 3),
-                                                              np.inf))[b]
-                 if "joints3d" in obs_jax else jnp.full((1, 1, 3), np.inf)})
+            pd = {"joints3d": pred["joints3d"][b],
+                  "verts3d": pred["verts3d"][b],
+                  "mesh3d": pred["points3d"][b]}
+            gd = {"joints3d": jnp.asarray(gt["joints3d"][b]),
+                  "verts3d": gt_smpl["verts3d"][b],
+                  "mesh3d": gt_smpl["points3d"][b]}
+            od = {"joints3d": obs_jax["joints3d"][b]} \
+                if "joints3d" in obs_jax else {}
+            if "verts3d" in obs_jax:
+                od["verts3d"] = obs_jax["verts3d"][b]
+            m = M.quant_eval_3d(pd, gd, od)
             all_metrics.append(m)
         mpjpe = float(np.concatenate(
             [m["joints3d_all"] for m in all_metrics[-cfg.batch_size:]]
@@ -193,6 +215,7 @@ def _run_rgb(cfg, models):
     from humor_tpu.fitting import optimizer as O
     from humor_tpu.fitting import results as R
 
+    prox_gt = None
     if cfg.data_type.startswith("PROX"):
         from humor_tpu.data.prox import ProxConfig, ProxDataset
 
@@ -201,8 +224,11 @@ def _run_rgb(cfg, models):
             os.path.join(os.path.dirname(cfg.data_path.rstrip("/")),
                          "..", "calibration"),
             ProxConfig(seq_len=cfg.seq_len,
-                       use_depth=cfg.data_type == "PROX-RGBD"))
+                       use_depth=cfg.data_type == "PROX-RGBD",
+                       load_fitting=cfg.prox_load_fitting),
+            fitting_root=cfg.prox_fitting_root or None)
         observed = ds.observation_batch()
+        prox_gt = ds.fitting_batch()
     elif cfg.data_type == "iMapper-RGB":
         from humor_tpu.data.imapper import IMapperConfig, IMapperDataset
 
@@ -267,11 +293,31 @@ def _run_rgb(cfg, models):
 
     if cfg.save_results:
         R.save_stage_results(cfg.out, "final", res.final)
-        R.save_observations(cfg.out, observed)
-        stitched = R.stitch_windows(res.final, observed["seq_interval"])
-        os.makedirs(os.path.join(cfg.out, "final_results"), exist_ok=True)
-        np.savez(os.path.join(cfg.out, "final_results", "stitched.npz"),
-                 **{k: np.asarray(v) for k, v in stitched.items()})
+        R.save_observations(cfg.out, observed, gt=prox_gt)
+        has_floor = "floor_plane" in res.final
+        if cfg.save_stages_results:
+            for sname, sres in res.per_stage.items():
+                R.save_stage_results(cfg.out, sname, sres)
+            if has_floor:
+                # stage-2 results re-expressed with the FINAL floor
+                # (reference motion_optimizer.py:649-676)
+                R.save_prior_stage_results(
+                    cfg.out, "stage2", res.per_stage["stage2"],
+                    models.body, np.asarray(res.final["floor_plane"]))
+        if has_floor:
+            # per-window prior-frame final result: the rollout already
+            # produced it (reference fitting_utils.py:304-317)
+            prior3 = {"trans": res.final["prior_trans"],
+                      "root_orient": res.final["prior_root_orient"],
+                      "pose_body": res.final["pose_body"],
+                      "betas": res.final["betas"]}
+            if "contacts" in res.final:
+                prior3["contacts"] = res.final["contacts"]
+            R.save_stage_results(cfg.out, "final", prior3,
+                                 fname="final_results_prior.npz")
+        stitched = R.save_stitched_result(
+            cfg.out, res.final, observed,
+            body=models.body if has_floor else None)
         print(f"[fit] wrote stitched result "
               f"({stitched['trans'].shape[0]} frames)")
     return res

@@ -178,6 +178,11 @@ class FitCLIConfig:
     #                             fit_rgb_demo_no_split.cfg semantics)
     mask_joints2d: bool = False
     mask_path: str = ""        # person-mask pngs for joint occlusion
+    # PROX pseudo-GT SMPL fits (PROXD qualitative / MoSh quantitative;
+    # reference prox_dataset.py:111-147 return_fitting): loaded per frame
+    # and saved beside results as gt_results.npz for `--mode prox` eval
+    prox_load_fitting: bool = False
+    prox_fitting_root: str = ""  # override the fittings/{mosh,proxd} walk
     # observation modalities
     amass_use_joints: bool = True
     amass_use_verts: bool = False
