@@ -1,0 +1,137 @@
+"""Accuracy-vs-effort knee sweep: where does synthetic-GT recovery
+saturate as the iteration budget grows?
+
+Context (RESULTS.md "Iteration-budget semantics"): our `num_iters` count
+TRUE L-BFGS iterations while the reference's count outer torch-LBFGS
+steps of up to 20 inner iterations each
+(/root/reference/humor/fitting/motion_optimizer.py:24,233-254), so 1x our
+budget is up to 1/20 the reference's effective effort. The honest
+headline number is the wall-clock at the budget where the recovery curve
+saturates — this sweep locates that knee.
+
+Workload: the synthetic-GT recovery fixture (humor_tpu.testing — briefly
+trained HuMoR + VPoser on the procedural generator), fitting B x 60-frame
+held-out windows with sigma=2cm joint noise and an inf-masked middle
+third, at num_iters = scale * (30, 70, 70).
+
+Usage:
+    python benchmarks/bench_knee.py --scales 1,2,4,8,20 [--reps 3]
+Emits one JSON line per scale:
+    {"scale": s, "wallclock_s": w, "mpjpe_vis_m": v, "mpjpe_occ_m": o}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+B, T = 2, 60
+NOISE_STD = 0.02
+BASE_ITERS = (30, 70, 70)
+
+
+def build_workload(models, seed=777):
+    import jax.numpy as jnp
+
+    from humor_tpu.data.synthetic import synthetic_world_batch
+
+    world, _ = synthetic_world_batch(seed, B, T, model=models.body)
+    gt = np.asarray(world["joints"]).reshape(B, T, -1, 3)
+    rng = np.random.RandomState(11)
+    noisy = gt + rng.randn(*gt.shape).astype(np.float32) * NOISE_STD
+    occ = noisy.copy()
+    occ[:, T // 3: 2 * T // 3] = np.inf
+    return {"joints3d": jnp.asarray(occ)}, gt
+
+
+def make_cfg(scale: int, linesearch: str = "parallel"):
+    from humor_tpu.fitting import energies as E
+    from humor_tpu.fitting import optimizer as O
+
+    w1 = E.StageWeights(joints3d=1.0)
+    w2 = E.StageWeights(joints3d=1.0, pose_prior=4e-4, shape_prior=6e-3,
+                        joints3d_smooth=0.1)
+    w3 = E.StageWeights(joints3d=1.0, pose_prior=4e-4, shape_prior=6e-3,
+                        motion_prior=1e-4, joint_consistency=10.0,
+                        bone_length=10.0, joints3d_rollout=0.1)
+    return O.TTOConfig(
+        seq_len=T, stage_weights=(w1, w2, w3),
+        num_iters=tuple(n * scale for n in BASE_ITERS),
+        lbfgs_linesearch=linesearch,
+        stage3_freeze_start=30 * scale, stage3_freeze_end=55 * scale)
+
+
+def mpjpe_split(pred_joints, gt):
+    vis = np.ones(T, bool)
+    vis[T // 3: 2 * T // 3] = False
+    err = np.linalg.norm(
+        np.asarray(pred_joints).reshape(B, T, -1, 3) - gt, axis=-1)
+    return float(err[:, vis].mean()), float(err[:, ~vis].mean())
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scales", default="1,2,4,8,20")
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--linesearch", default="parallel")
+    args = ap.parse_args()
+
+    import jax
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                         ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", os.path.abspath(cache))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    import jax.numpy as jnp
+
+    from humor_tpu.fitting import optimizer as O
+    from humor_tpu.fitting.optimizer import smpl_results
+    from humor_tpu.testing import trained_tto_models
+
+    t0 = time.time()
+    models = trained_tto_models()
+    print(f"[knee] models trained in {time.time()-t0:.0f}s",
+          file=sys.stderr)
+
+    scales = [int(s) for s in args.scales.split(",")]
+    for scale in scales:
+        cfg = make_cfg(scale, args.linesearch)
+        runner = O.make_runner(cfg, models)
+        times, vis_list, occ_list = [], [], []
+        for rep in range(args.reps):
+            # fresh inputs per rep: identical (program, input) pairs can
+            # hit remote execution caching (CLAUDE.md)
+            observed, gt = build_workload(models, seed=777 + rep)
+            t0 = time.time()
+            res = runner(observed)
+            jax.block_until_ready(res.final["trans"])
+            dt = time.time() - t0
+            if rep == 0:
+                dt_compile = dt  # first rep pays compile
+            else:
+                times.append(dt)
+            p = smpl_results(models.body, res.final["trans"],
+                             res.final["root_orient"],
+                             res.final["pose_body"], res.final["betas"],
+                             verts="none")
+            v, o = mpjpe_split(p["joints3d"], gt)
+            vis_list.append(v)
+            occ_list.append(o)
+        wall = float(np.median(times)) if times else dt_compile
+        print(json.dumps({
+            "scale": scale,
+            "num_iters": [n * scale for n in BASE_ITERS],
+            "wallclock_s": round(wall, 3),
+            "mpjpe_vis_m": round(float(np.median(vis_list)), 4),
+            "mpjpe_occ_m": round(float(np.median(occ_list)), 4),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -8,15 +8,18 @@ FULL 3-stage TTO fits a held-out synthetic window corrupted with the
 fit-dataset noise + middle-third occlusion, and the recovered motion must
 come back under absolute MPJPE bounds — not just "the loss went down".
 
-Key claims asserted (numbers measured in this env, bounds at ~1.7x
-margin; see RESULTS.md "Synthetic-GT recovery"):
-  * visible-frame MPJPE: 3.59 m (init) -> ~0.10 m (stage 2) ->
-    ~0.18 m (stage 3, trades a little data fidelity for prior
+Key claims asserted (measured with the deterministic zoom line search,
+bounds at ~1.3x margin; see RESULTS.md "Synthetic-GT recovery"):
+  * visible-frame MPJPE: 3.556 m (init) -> 0.0967 m (stage 2) ->
+    0.1897 m (stage 3, trades a little data fidelity for prior
     consistency);
   * occluded-frame MPJPE: stage 3's motion prior IN-PAINTS the unseen
-    middle third better than the per-frame stages (~0.28 m -> ~0.15 m)
+    middle third better than the per-frame stages (0.2806 m -> 0.1840 m)
     — the core HuMoR capability (reference motion_optimizer.py:202-676,
     eval_utils.py:71-134).
+The fixture pins `lbfgs_linesearch="zoom"`: the parallel search's
+discrete candidate grid can flip under fp-reassociation drift (CLAUDE.md),
+which is what previously forced 64%-headroom bounds.
 
 Why training is part of the fixture: with random-init networks the
 stage-3 latent rollout cannot represent arbitrary motion and L-BFGS
@@ -25,24 +28,15 @@ well-posed against a (briefly) trained model, exactly as in the
 reference, whose released checkpoints cannot ship in this env.
 """
 
-import time
-
-import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 import pytest
 
 from humor_tpu.body_model.smpl import synthetic_smpl_model
 from humor_tpu.data.synthetic import synthetic_world_batch
-from humor_tpu.data.windows import window_to_pairs
 from humor_tpu.fitting import energies as E
 from humor_tpu.fitting import optimizer as O
-from humor_tpu.losses.elbo import LossConfig
 from humor_tpu.models import humor as H
-from humor_tpu.models import vposer as vp
-from humor_tpu.ops import transforms
-from humor_tpu.train import step as TS
 
 B, T = 2, 10
 NOISE_STD = 0.02  # metres, per-coordinate
@@ -54,64 +48,21 @@ CFG = H.HumorConfig()
 @pytest.fixture(scope="module")
 def trained_humor():
     """~2.5 min CPU curriculum: 300 supervised + 150 scheduled-sampling
-    steps at batch 48 x 10 frames with the full SMPL losses — enough for
-    the posterior to approximately invert the decoder and for rollouts
-    to track the synthetic manifold."""
-    B_TR, T_TR = 48, 10
-    opt = TS.make_optimizer(lr=5e-4, steps_per_epoch=50)
-    state = TS.init_train_state(CFG, opt, jax.random.PRNGKey(0))
-    sup, ss, _ = TS.make_train_steps(CFG, LossConfig(), opt,
-                                     {"male": MODEL, "female": MODEL})
-    key = jax.random.PRNGKey(1)
+    steps at batch 48 x 10 frames with the full SMPL losses (shared with
+    benchmarks/bench_knee.py via humor_tpu.testing so the accuracy-vs-
+    effort sweep measures the exact model this test asserts about)."""
+    from humor_tpu.testing import train_mini_humor
 
-    def make_batch(seed):
-        world, meta = synthetic_world_batch(seed, B_TR, T_TR + 1,
-                                            model=MODEL)
-        data_in, data_out, _ = window_to_pairs(world)
-        return {"data_in": data_in, "data_out": data_out,
-                "betas": meta["betas"], "gender_ids": meta["gender_ids"]}
-
-    batches = [make_batch(s) for s in range(40)]
-    for i in range(300):
-        state, _ = sup(state, batches[i % 40], jax.random.fold_in(key, i),
-                       min(i // 60, 5))
-    for i in range(150):
-        p_gt = max(0.0, 1.0 - i / 100.0)
-        state, _ = ss(state, batches[(i * 7) % 40],
-                      jax.random.fold_in(key, 10_000 + i), 15, p_gt)
-    return state.params
+    return train_mini_humor(MODEL, CFG)
 
 
 @pytest.fixture(scope="module")
 def trained_vposer():
     """Mini VPoser (hidden=96) autoencoding the synthetic pose
     distribution (~10 s)."""
-    vcfg = vp.VPoserConfig(hidden=96)
-    vparams = vp.init_params(vcfg, jax.random.PRNGKey(3))
-    world, _ = synthetic_world_batch(100, 64, 20, model=MODEL)
-    poses = np.asarray(transforms.rotmat_to_aa(jnp.asarray(
-        np.asarray(world["pose_body"]).reshape(-1, 21, 3, 3)))
-    ).reshape(-1, 63)
-    vopt = optax.adam(2e-3)
-    ostate = vopt.init(vparams)
+    from humor_tpu.testing import train_mini_vposer
 
-    @jax.jit
-    def vstep(params, ostate, batch):
-        def loss_fn(p):
-            mu, std = vp.encode(vcfg, p, batch)
-            rec = vp.latent2pose(vcfg, p, mu)
-            kl = 0.5 * jnp.mean(mu ** 2 + std ** 2
-                                - 2 * jnp.log(std + 1e-8) - 1)
-            return jnp.mean(jnp.square(rec - batch)) + 1e-3 * kl
-        l, g = jax.value_and_grad(loss_fn)(params)
-        up, o2 = vopt.update(g, ostate, params)
-        return optax.apply_updates(params, up), o2, l
-
-    rng = np.random.RandomState(0)
-    for _ in range(800):
-        idx = rng.choice(poses.shape[0], 256, replace=False)
-        vparams, ostate, _ = vstep(vparams, ostate, jnp.asarray(poses[idx]))
-    return vcfg, vparams
+    return train_mini_vposer(MODEL)
 
 
 @pytest.fixture(scope="module")
@@ -149,8 +100,13 @@ def tto_cfg():
     w3 = E.StageWeights(joints3d=1.0, pose_prior=4e-4, shape_prior=6e-3,
                         motion_prior=1e-4, joint_consistency=10.0,
                         bone_length=10.0, joints3d_rollout=0.1)
+    # zoom line search: deterministic sequential semantics (CLAUDE.md —
+    # the parallel search's discrete candidate grid can flip under
+    # fp-reassociation drift, which is what forced the old 64%-headroom
+    # bounds; zoom lets the bounds sit ~25% above the measured values)
     return O.TTOConfig(seq_len=T, stage_weights=(w1, w2, w3),
                        num_iters=(15, 25, 40),
+                       lbfgs_linesearch="zoom",
                        stage3_tune_init_num_frames=5,
                        stage3_freeze_start=10, stage3_freeze_end=20)
 
@@ -188,27 +144,31 @@ def test_visible_frames_recovered(recovered, gt_joints, tto_cfg, models,
 
     err_s2 = _mpjpe(joints["stage2"], gt_joints, VIS)
     err_s3 = _mpjpe(joints["stage3"], gt_joints, VIS)
-    # measured: init 3.59 -> stage2 0.097 -> stage3 0.177 (m)
-    assert err_s2 < 0.20, f"stage-2 visible MPJPE {err_s2:.4f} m"
-    assert err_s3 < 0.35, f"stage-3 visible MPJPE {err_s3:.4f} m"
-    assert err_s3 < err_init / 8.0, (err_init, err_s3)
+    print(f"\n[tto-accuracy] vis: init {err_init:.4f} s2 {err_s2:.4f} "
+          f"s3 {err_s3:.4f}")
+    # measured with the deterministic zoom search (round 3): init 3.556
+    # -> stage2 0.0967 -> stage3 0.1897 (m); bounds at ~1.3x so a real
+    # quality regression fails CI
+    assert err_s2 < 0.13, f"stage-2 visible MPJPE {err_s2:.4f} m"
+    assert err_s3 < 0.25, f"stage-3 visible MPJPE {err_s3:.4f} m"
+    assert err_s3 < err_init / 10.0, (err_init, err_s3)
 
 
 def test_motion_prior_inpaints_occlusion(recovered, gt_joints):
     """The core HuMoR capability: the stage-3 motion prior reconstructs
-    the inf-masked middle third well, and never degrades what the
-    per-frame stages produce there. (Measured pairs across fp-trajectory
-    regimes: stage2 0.278 -> stage3 0.152 m, and stage2 0.214 -> stage3
-    0.214 m — stage 2's smoothing of this synthetic window is itself
-    high-variance under reassociation drift, so a strict s3 < s2
-    inequality is a knife-edge; the stable claims are the absolute
-    in-painting bound and no-degradation.)"""
+    the inf-masked middle third better than any per-frame stage can.
+    Measured with the deterministic zoom search (round 3): stage2 0.2806
+    -> stage3 0.1840 m — a clear in-painting win, asserted strictly (the
+    old 64%-headroom bounds existed only because the parallel search's
+    candidate flips made the trajectory high-variance; zoom removes
+    that)."""
     _, joints = recovered
     occ_s2 = _mpjpe(joints["stage2"], gt_joints, ~VIS)
     occ_s3 = _mpjpe(joints["stage3"], gt_joints, ~VIS)
+    print(f"\n[tto-accuracy] occ: s2 {occ_s2:.4f} s3 {occ_s3:.4f}")
     assert np.all(np.isfinite(joints["stage3"]))
-    assert occ_s3 < 0.25, f"occluded-frame MPJPE {occ_s3:.4f} m"
-    assert occ_s3 < occ_s2 * 1.05, (occ_s2, occ_s3)
+    assert occ_s3 < 0.23, f"occluded-frame MPJPE {occ_s3:.4f} m"
+    assert occ_s3 < occ_s2 * 0.9, (occ_s2, occ_s3)
 
 
 def test_betas_stay_bounded(recovered):
