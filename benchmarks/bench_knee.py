@@ -30,6 +30,9 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
 B, T = 2, 60
 NOISE_STD = 0.02
 BASE_ITERS = (30, 70, 70)

@@ -51,7 +51,7 @@ LATENT = 48
 N_JNT = 22          # SMPL joints in the state
 N_POSE = 21         # body pose joints
 D_FLAT = 18         # trans 3 | trans_vel 3 | root9 9 | root_orient_vel 3
-VMEM_LIMIT = 110 * 1024 * 1024
+VMEM_LIMIT = 127 * 1024 * 1024
 
 
 def _interpret() -> bool:
@@ -252,22 +252,101 @@ class KOut(NamedTuple):
     pv: jnp.ndarray          # (B, 48)
 
 
+_HIP = jax.lax.Precision.HIGHEST
+
+
+def _is_matmul_weight(name: str) -> bool:
+    return not (name.endswith(("_b", "_gs", "_gb")) or "_b_" in name
+                or name.endswith("@T"))
+
+
+def add_transposes(kw: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    """Add `name@T` pre-transposed copies of every matmul weight. The
+    BACKWARD kernel needs them: autodiff's input-cotangent `g @ W^T`
+    lowers in Mosaic to a register-level transpose of the VMEM-resident
+    W, and with three 1024x1024 stacks per step the register allocator
+    reserved >100 MB of spill slots (measured: scoped-vmem OOM at
+    124/110 MB). With W^T as its own VMEM-resident input, the backward
+    is a plain matmul; XLA constant-folds the transposes once since the
+    weights are closure constants of the TTO program."""
+    out = dict(kw)
+    for k, v in kw.items():
+        if _is_matmul_weight(k):
+            out[k + "@T"] = jnp.swapaxes(v, 0, 1)
+    return out
+
+
+@jax.custom_vjp
+def _mm_t(x, W, Wt):
+    return jnp.dot(x, W, precision=_HIP)
+
+
+def _mm_t_fwd(x, W, Wt):
+    return jnp.dot(x, W, precision=_HIP), (W, Wt)
+
+
+def _mm_t_bwd(res, g):
+    W, Wt = res
+    # weight cotangents are structurally required but pruned by DCE —
+    # the kernel differentiates only (carry, z); the TTO freezes weights
+    return (jnp.dot(g, Wt, precision=_HIP),
+            jnp.zeros_like(W), jnp.zeros_like(Wt))
+
+
+_mm_t.defvjp(_mm_t_fwd, _mm_t_bwd)
+
+
+def _mm(kw, name, x):
+    """x @ kw[name]; uses the pre-transposed backward when kw carries
+    `name@T` (backward kernel), plain autodiff otherwise."""
+    Wt = kw.get(name + "@T")
+    if Wt is None:
+        return jnp.dot(x, kw[name], precision=_HIP)
+    return _mm_t(x, kw[name], Wt)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _split_mm_t(n, x3, W, Wt):
+    ncomp = x3.shape[-1]
+    return sum(jnp.dot(x3[..., k], W[k * n:(k + 1) * n], precision=_HIP)
+               for k in range(ncomp))
+
+
+def _split_mm_t_fwd(n, x3, W, Wt):
+    return _split_mm_t(n, x3, W, Wt), (W, Wt)
+
+
+def _split_mm_t_bwd(n, res, g):
+    W, Wt = res
+    ncomp = Wt.shape[1] // n
+    dx3 = jnp.stack([jnp.dot(g, Wt[:, k * n:(k + 1) * n], precision=_HIP)
+                     for k in range(ncomp)], axis=-1)
+    return dx3, jnp.zeros_like(W), jnp.zeros_like(Wt)
+
+
+_split_mm_t.defvjp(_split_mm_t_fwd, _split_mm_t_bwd)
+
+
+def _split_mm(kw, name, x3, n):
+    """Entry-major split matmul: x3 (B, n, ncomp) against W (ncomp*n, H)
+    as sum over per-entry (B, n) @ (n, H) blocks (identical math to the
+    packed concat-matmul); pre-transposed backward like _mm."""
+    W = kw[name]
+    Wt = kw.get(name + "@T")
+    ncomp = x3.shape[-1]
+    if Wt is None:
+        return sum(jnp.dot(x3[..., k], W[k * n:(k + 1) * n],
+                           precision=_HIP) for k in range(ncomp))
+    return _split_mm_t(n, x3, W, Wt)
+
+
 def _layer0(kw, pre, carry: KCarry, z=None) -> jnp.ndarray:
-    hi = jax.lax.Precision.HIGHEST
-    h = jnp.dot(carry.flat, kw[f"{pre}_flat"], precision=hi)
-    for k in range(9):
-        h = h + jnp.dot(carry.pose[..., k],
-                        kw[f"{pre}_pose"][k * N_POSE:(k + 1) * N_POSE],
-                        precision=hi)
-    for c in range(3):
-        h = h + jnp.dot(carry.joints[..., c],
-                        kw[f"{pre}_joints"][c * N_JNT:(c + 1) * N_JNT],
-                        precision=hi)
-        h = h + jnp.dot(carry.jvel[..., c],
-                        kw[f"{pre}_jvel"][c * N_JNT:(c + 1) * N_JNT],
-                        precision=hi)
+    h = _mm(kw, f"{pre}_flat", carry.flat)
+    h = h + _split_mm(kw, f"{pre}_pose", carry.pose, N_POSE)
+    h = h + _split_mm(kw, f"{pre}_joints", carry.joints, N_JNT)
+    h = h + _split_mm(kw, f"{pre}_jvel", carry.jvel, N_JNT)
     if z is not None:
-        h = h + jnp.dot(z, kw[f"{pre}_z"], precision=hi)
+        h = h + _mm(kw, f"{pre}_z", z)
     return h + kw[f"{pre}_b"]
 
 
@@ -277,26 +356,24 @@ def _gn_relu(h, gs, gb):
 
 
 def _prior_mlp(kw, carry: KCarry) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    hi = jax.lax.Precision.HIGHEST
     h = _layer0(kw, "pr0", carry)
     for i in range(1, 5):
         h = _gn_relu(h, kw[f"pr{i}_gs"], kw[f"pr{i}_gb"])
-        h = jnp.dot(h, kw[f"pr{i}_w"], precision=hi) + kw[f"pr{i}_b"]
+        h = _mm(kw, f"pr{i}_w", h) + kw[f"pr{i}_b"]
     return h[:, :LATENT], jnp.exp(h[:, LATENT:])
 
 
 def _decoder_mlp(kw, carry: KCarry, z: jnp.ndarray):
-    hi = jax.lax.Precision.HIGHEST
     h = _layer0(kw, "de0", carry, z=z)
     for i in (1, 2):
         h = _gn_relu(h, kw[f"de{i}_gs"], kw[f"de{i}_gb"])
-        h = (jnp.dot(h, kw[f"de{i}_wh"], precision=hi)
-             + jnp.dot(z, kw[f"de{i}_wz"], precision=hi) + kw[f"de{i}_b"])
+        h = (_mm(kw, f"de{i}_wh", h) + _mm(kw, f"de{i}_wz", z)
+             + kw[f"de{i}_b"])
     h = _gn_relu(h, kw["de3_gs"], kw["de3_gb"])
 
     def head(name):
-        out = (jnp.dot(h, kw[f"de3h_w_{name}"], precision=hi)
-               + jnp.dot(z, kw[f"de3z_w_{name}"], precision=hi)
+        out = (_mm(kw, f"de3h_w_{name}", h)
+               + _mm(kw, f"de3z_w_{name}", z)
                + kw[f"de3h_b_{name}"])
         return out
 
@@ -538,6 +615,7 @@ def _bwd_pallas(kw: Dict[str, jnp.ndarray], saved: KCarry,
     from jax.experimental.pallas import tpu as pltpu
 
     B = t2j.shape[0]
+    kw = add_transposes(kw)   # VMEM-resident W^T for the cotangent matmuls
     kw_names = sorted(kw)
     cshapes = _carry_shapes(B)
     oshapes = _out_shapes(B)
