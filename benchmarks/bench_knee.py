@@ -102,6 +102,23 @@ def main():
     print(f"[knee] models trained in {time.time()-t0:.0f}s",
           file=sys.stderr)
 
+    # model-quality floor: VPoser round-trip on the GT window poses.
+    # The TTO routes all body pose through latent2pose, so its recon
+    # error lower-bounds any stage-2/3 MPJPE — print it so a bad fit
+    # can be attributed (mini-model quality vs optimizer trouble).
+    from humor_tpu.data.synthetic import synthetic_world_batch
+    from humor_tpu.models import vposer as vp
+    from humor_tpu.ops import transforms
+    world, _ = synthetic_world_batch(777, B, T, model=models.body)
+    pose_aa = transforms.rotmat_to_aa(
+        jnp.asarray(np.asarray(world["pose_body"]).reshape(-1, 21, 3, 3))
+    ).reshape(-1, 63)
+    mu, _ = vp.encode(models.vposer_cfg, models.vposer, pose_aa)
+    rec = vp.latent2pose(models.vposer_cfg, models.vposer, mu)
+    print(f"[knee] vposer GT-pose round-trip MAE "
+          f"{float(jnp.mean(jnp.abs(rec - pose_aa))):.4f} rad",
+          file=sys.stderr)
+
     scales = [int(s) for s in args.scales.split(",")]
     for scale in scales:
         cfg = make_cfg(scale, args.linesearch)
@@ -126,6 +143,15 @@ def main():
             v, o = mpjpe_split(p["joints3d"], gt)
             vis_list.append(v)
             occ_list.append(o)
+            if rep == 0:  # per-stage attribution
+                for st in ("stage1", "stage2", "stage3"):
+                    s = res.per_stage[st]
+                    ps = smpl_results(models.body, s["trans"],
+                                      s["root_orient"], s["pose_body"],
+                                      s["betas"], verts="none")
+                    sv, so = mpjpe_split(ps["joints3d"], gt)
+                    print(f"[knee] scale {scale} {st}: vis {sv:.3f} "
+                          f"occ {so:.3f}", file=sys.stderr, flush=True)
         wall = float(np.median(times)) if times else dt_compile
         print(json.dumps({
             "scale": scale,

@@ -107,7 +107,7 @@ def main(argv=None) -> Dict:
                         for n in cfg.num_iters),
         lbfgs_max_linesearch=cfg.lbfgs_max_iter,
         lbfgs_linesearch=cfg.lbfgs_linesearch,
-        lbfgs_candidates=cfg.lbfgs_candidates,
+        lbfgs_candidates=cfg.lbfgs_candidates or None,
         stage3_tune_init_state=not cfg.stage3_no_tune_init_state,
         stage3_tune_init_num_frames=cfg.stage3_tune_init_num_frames,
         stage3_freeze_start=cfg.stage3_freeze_start * cfg.num_iters_scale,
@@ -277,7 +277,7 @@ def _run_rgb(cfg, models):
                         for n in cfg.num_iters),
         lbfgs_max_linesearch=cfg.lbfgs_max_iter,
         lbfgs_linesearch=cfg.lbfgs_linesearch,
-        lbfgs_candidates=cfg.lbfgs_candidates,
+        lbfgs_candidates=cfg.lbfgs_candidates or None,
         optim_floor=True,
         stage3_tune_init_state=not cfg.stage3_no_tune_init_state,
         stage3_tune_init_num_frames=cfg.stage3_tune_init_num_frames,

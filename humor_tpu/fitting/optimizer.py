@@ -67,7 +67,13 @@ class TTOConfig:
     # small B, so K candidates cost ~one eval); "zoom": optax sequential
     # zoom (the reference's torch strong_wolfe semantics, 2-8+ evals/iter)
     lbfgs_linesearch: str = "parallel"
-    lbfgs_candidates: int = 8  # parallel search only (grid size)
+    # parallel/armijo search grid size; None = auto by batch:
+    # K = clamp(128 // B, 4, 16). Rationale (RESULTS.md round 3): the
+    # candidate-grid rollout runs at M = K*B MXU rows and every weight
+    # tile costs one pass for any M <= 128, so candidates are FREE until
+    # K*B ~ 128 — small batches get a finer grid at no cost, large
+    # batches shed candidates instead of paying extra MXU passes.
+    lbfgs_candidates: Optional[int] = 8
     data_fps: float = 30.0
     optim_floor: bool = False
     stage3_tune_init_state: bool = True
@@ -115,6 +121,20 @@ def batch_size_of(observed: Dict[str, Any]) -> int:
     top = {k: v for k, v in observed.items()
            if k != "prev_batch_overlap_res"}
     return jax.tree_util.tree_leaves(top)[0].shape[0]
+
+
+def resolve_candidates(num: Optional[int], batch: int) -> int:
+    """Line-search grid size; None = auto from the window batch.
+
+    K = clamp(128 // B, 4, 16): the candidate-grid rollout runs at
+    M = K*B MXU rows and each weight tile costs one MXU pass for any
+    M <= 128 (RESULTS.md "weight-stationary MXU bound"), so candidates
+    are free until K*B ~ 128 — small batches get a finer grid at no
+    cost, large batches shed candidates instead of paying extra passes.
+    """
+    if num is not None:
+        return num
+    return max(4, min(16, 128 // max(int(batch), 1)))
 
 
 def verts_mode_for(observed) -> str:
@@ -474,7 +494,8 @@ def make_runner(cfg: TTOConfig, models: TTOModels, mesh=None,
                          history_size=cfg.lbfgs_history,
                          max_linesearch_steps=cfg.lbfgs_max_linesearch,
                          linesearch=cfg.lbfgs_linesearch,
-                         num_candidates=cfg.lbfgs_candidates)
+                         num_candidates=resolve_candidates(
+                             cfg.lbfgs_candidates, batch_size_of(observed)))
 
     # ---- stage 1/2 losses
     def stage1_loss(v, observed):

@@ -212,7 +212,9 @@ class FitCLIConfig:
     # "parallel" (speculative vectorized strong-Wolfe, one vmapped eval
     # per iteration) or "zoom" (sequential, reference torch semantics)
     lbfgs_linesearch: str = "parallel"
-    lbfgs_candidates: int = 8  # parallel grid size (parallel only)
+    # parallel/armijo grid size; 0 = auto-scale by window batch
+    # (K = clamp(128 // B, 4, 16) — see fitting/optimizer.resolve_candidates)
+    lbfgs_candidates: int = 8
     stage3_tune_init_num_frames: int = 15
     stage3_freeze_start: int = 30
     stage3_freeze_end: int = 55

@@ -176,3 +176,26 @@ def test_angular_velocity_constant_rotation():
     # middle steps: finite-difference approx of 0.2 rad/step about z
     np.testing.assert_allclose(np.asarray(w[0, 2:-2, 2]), 0.2, atol=5e-3)
     np.testing.assert_allclose(np.asarray(w[0, 2:-2, :2]), 0.0, atol=1e-4)
+
+
+def test_resolve_candidates_auto_scaling():
+    # explicit value passes through untouched
+    assert O.resolve_candidates(8, 999) == 8
+    # auto: K = clamp(128 // B, 4, 16) — candidates free while K*B <= 128
+    assert O.resolve_candidates(None, 2) == 16
+    assert O.resolve_candidates(None, 8) == 16
+    assert O.resolve_candidates(None, 16) == 8
+    assert O.resolve_candidates(None, 32) == 4
+    assert O.resolve_candidates(None, 64) == 4   # floor
+    assert O.resolve_candidates(None, 1000) == 4
+
+
+def test_auto_candidates_runner_runs(tto_cfg, models, observed):
+    import dataclasses
+    cfg = dataclasses.replace(tto_cfg, lbfgs_candidates=None,
+                              num_iters=(2, 2, 2), stage3_freeze_start=1,
+                              stage3_freeze_end=2,
+                              stage3_tune_init_num_frames=3)
+    res = O.run(cfg, models, observed)
+    for k in ("trans", "root_orient"):
+        assert np.all(np.isfinite(np.asarray(res.final[k])))
