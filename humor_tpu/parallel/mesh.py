@@ -28,12 +28,17 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, tree, axis: str = "dp"):
-    """Device-put a pytree with leading-axis sharding over the mesh."""
-    sh = batch_sharding(mesh, axis)
+def shard_batch(mesh: Mesh, tree, axis: str = "dp",
+                batch_axis_index: int = 0):
+    """Device-put a pytree with batch-axis sharding over the mesh.
+
+    batch_axis_index=1 handles k-stacked batches (scan axis 0 replicated,
+    per-step batch axis 1 sharded — train.step.make_multi_steps)."""
+    spec = P(*([None] * batch_axis_index), axis)
+    sh = NamedSharding(mesh, spec)
     return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sh) if hasattr(x, "ndim") and x.ndim > 0
-        else x, tree)
+        lambda x: jax.device_put(x, sh)
+        if hasattr(x, "ndim") and x.ndim > batch_axis_index else x, tree)
 
 
 def pad_to_multiple(n: int, m: int) -> int:

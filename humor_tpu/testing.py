@@ -23,7 +23,7 @@ import numpy as np
 
 def train_mini_humor(model, cfg, sup_steps: int = 300,
                      ss_steps: int = 150, batch: int = 48,
-                     frames: int = 10) -> Dict:
+                     frames: int = 10, ss_len: int = 10) -> Dict:
     """~2.5 min CPU curriculum (seconds on the chip): supervised +
     scheduled-sampling steps with the full SMPL losses — enough for the
     posterior to approximately invert the decoder and for rollouts to
@@ -41,20 +41,26 @@ def train_mini_humor(model, cfg, sup_steps: int = 300,
                                      {"male": model, "female": model})
     key = jax.random.PRNGKey(1)
 
-    def make_batch(seed):
-        world, meta = synthetic_world_batch(seed, batch, frames + 1,
+    def make_batch(seed, nframes):
+        world, meta = synthetic_world_batch(seed, batch, nframes + 1,
                                             model=model)
         data_in, data_out, _ = window_to_pairs(world)
         return {"data_in": data_in, "data_out": data_out,
                 "betas": meta["betas"], "gender_ids": meta["gender_ids"]}
 
-    batches = [make_batch(s) for s in range(40)]
+    batches = [make_batch(s, frames) for s in range(40)]
     for i in range(sup_steps):
         state, _ = sup(state, batches[i % 40], jax.random.fold_in(key, i),
                        min(i // 60, 5))
+    # scheduled sampling on LONGER windows: the SS rollout horizon is the
+    # window length, and rollout stability at the TTO's stage-3 horizon
+    # (59 steps for 60-frame fits) is set by the horizon trained here,
+    # not by more supervised steps
+    ss_batches = (batches if ss_len == frames else
+                  [make_batch(100 + s, ss_len) for s in range(20)])
     for i in range(ss_steps):
         p_gt = max(0.0, 1.0 - i / 100.0)
-        state, _ = ss(state, batches[(i * 7) % 40],
+        state, _ = ss(state, ss_batches[(i * 7) % len(ss_batches)],
                       jax.random.fold_in(key, 10_000 + i), 15, p_gt)
     return state.params
 
@@ -100,17 +106,38 @@ def train_mini_vposer(model, hidden: int = 96, steps: int = 800
     return vcfg, vparams
 
 
-def trained_tto_models(sup_steps: int = 300, ss_steps: int = 150):
+def trained_tto_models(sup_steps: int = 300, ss_steps: int = 150,
+                       ss_len: int = 10, cache: str = None):
     """TTOModels bundle with the briefly-trained mini HuMoR + VPoser over
-    the procedural synthetic body."""
+    the procedural synthetic body.
+
+    cache: optional .npz path — load the trained params from it when it
+    exists, train-and-save otherwise (benches re-enter this fixture many
+    times; training costs minutes per entry)."""
+    import jax
+
     from humor_tpu.body_model.smpl import synthetic_smpl_model
     from humor_tpu.fitting.optimizer import TTOModels
     from humor_tpu.models import humor as H
+    from humor_tpu.models import vposer as vp
+    from humor_tpu.utils import checkpoint as ckpt
 
     model = synthetic_smpl_model()
     cfg = H.HumorConfig()
+    vcfg = vp.VPoserConfig(hidden=96)
+    import os
+    if cache and os.path.exists(cache):
+        tmpl = {"humor": H.init_params(cfg, jax.random.PRNGKey(0)),
+                "vposer": vp.init_params(vcfg, jax.random.PRNGKey(3))}
+        both = ckpt.load_state(cache, tmpl)["params"]
+        return TTOModels(body=model, vposer_cfg=vcfg,
+                         vposer=both["vposer"], humor_cfg=cfg,
+                         humor=both["humor"], init_gmm=None)
     humor_params = train_mini_humor(model, cfg, sup_steps=sup_steps,
-                                    ss_steps=ss_steps)
-    vcfg, vparams = train_mini_vposer(model)
+                                    ss_steps=ss_steps, ss_len=ss_len)
+    vcfg2, vparams = train_mini_vposer(model)
+    assert vcfg2 == vcfg
+    if cache:
+        ckpt.save_state(cache, {"humor": humor_params, "vposer": vparams})
     return TTOModels(body=model, vposer_cfg=vcfg, vposer=vparams,
                      humor_cfg=cfg, humor=humor_params, init_gmm=None)

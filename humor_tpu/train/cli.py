@@ -136,7 +136,8 @@ def main(argv=None) -> Dict[str, float]:
         sched_samp_end=cfg.sched_samp_end, val_every=cfg.val_every,
         save_every=cfg.save_every, print_every=cfg.print_every,
         resume_ckpt=cfg.ckpt or None, load_optim=not cfg.no_load_optim,
-        use_smpl_joint_inputs=cfg.model_use_smpl_joint_inputs)
+        use_smpl_joint_inputs=cfg.model_use_smpl_joint_inputs,
+        steps_per_dispatch=cfg.steps_per_dispatch)
 
     train_ds = build_dataset(cfg, cfg.train_datasets)
     # validation always runs (reference train_humor.py:248-299);

@@ -21,6 +21,7 @@ TPU-first design:
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -195,6 +196,57 @@ def make_train_steps(cfg: H.HumorConfig, loss_cfg: LossConfig,
         return stats
 
     return supervised_step, sched_samp_step, eval_step
+
+
+def make_multi_steps(sup_step, ss_step, k: int):
+    """Dispatch-amortized training: `lax.scan` k steps over a stacked
+    batch pytree (leading axis k) in ONE device program.
+
+    The measured single-chip step is ~32-44 ms fixed (remote dispatch +
+    host work) + compute (RESULTS.md "Training throughput"), so at the
+    reference config roughly half of every 78 ms step is overhead that
+    k-step scanning amortizes to ~1/k. Steps stay IDENTICAL to the
+    single-step path (same jitted bodies scanned, same optimizer state
+    threading, same per-step key folding) — multi(k) == k singles up to
+    fp-reassociation (pinned by tests/test_train_multi.py).
+
+    Returns (multi_sup, multi_ss):
+      multi_sup(state, batches_k, key, epoch) -> (state, stats_k)
+      multi_ss(state, batches_k, key, epoch, use_gt_p) -> (state, stats_k)
+    where stats_k leaves have a leading k axis (callers reduce for
+    logging). Keys are jax.random.split(key, k); epoch/use_gt_p are
+    traced scalars shared across the k steps, matching the trainer's
+    per-epoch curriculum granularity.
+    """
+
+    def _scan(step_fn, extra):
+        def body(state, xs):
+            batch, key_i = xs
+            new_state, stats = step_fn(state, batch, key_i, *extra)
+            return new_state, stats
+        return body
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def multi_sup(state, batches, key, epoch):
+        keys = jax.random.split(key, k)
+        return jax.lax.scan(_scan(sup_step, (epoch,)), state,
+                            (batches, keys))
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def multi_ss(state, batches, key, epoch, use_gt_p):
+        keys = jax.random.split(key, k)
+        return jax.lax.scan(_scan(ss_step, (epoch, use_gt_p)), state,
+                            (batches, keys))
+
+    return multi_sup, multi_ss
+
+
+def stack_batches(batches):
+    """Host-side: stack a list of batch pytrees along a new leading axis
+    (the scan axis for make_multi_steps)."""
+    import numpy as np
+    return jax.tree_util.tree_map(
+        lambda *xs: np.stack([np.asarray(x) for x in xs]), *batches)
 
 
 def sched_samp_prob(epoch: int, start: int, end: int) -> float:

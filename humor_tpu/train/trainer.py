@@ -47,6 +47,10 @@ class TrainRunConfig:
     # HuMoR-Qual: feed SMPL-forward joints back during scheduled sampling
     # (reference model_use_smpl_joint_inputs, utils/config.py:201-202)
     use_smpl_joint_inputs: bool = False
+    # k > 1: lax.scan k steps per device dispatch (amortizes the ~32-44 ms
+    # fixed per-step host/dispatch cost, step.make_multi_steps). Logging
+    # granularity coarsens to one tracker update per k steps.
+    steps_per_dispatch: int = 1
 
 
 class Trainer:
@@ -97,6 +101,10 @@ class Trainer:
         self.sup_step, self.ss_step, self.eval_step = TS.make_train_steps(
             model_cfg, loss_cfg, self.opt, smpl_models, mesh=self.mesh,
             use_smpl_joint_inputs=run_cfg.use_smpl_joint_inputs)
+        self.multi_sup = self.multi_ss = None
+        if run_cfg.steps_per_dispatch > 1:
+            self.multi_sup, self.multi_ss = TS.make_multi_steps(
+                self.sup_step, self.ss_step, run_cfg.steps_per_dispatch)
         self.key = jax.random.PRNGKey(seed + 1)
         n_params = H.param_count(self.state.params)
         Logger.log(f"model params: {n_params/1e6:.2f}M; devices: "
@@ -112,18 +120,37 @@ class Trainer:
                                       rc.sched_samp_end)
         batches = list(self.train_batches(epoch))
         n = len(batches)
-        for i, batch in enumerate(batches):
-            if self.mesh is not None:
-                batch = shard_batch(self.mesh, batch)
-            if use_gt_p >= 1.0:
-                self.state, stats = self.sup_step(
-                    self.state, batch, self._next_key(), epoch)
+        k = rc.steps_per_dispatch
+        i = 0
+        while i < n:
+            chunk = batches[i:i + k]
+            if len(chunk) == k and k > 1:
+                stacked = TS.stack_batches(chunk)
+                if self.mesh is not None:
+                    stacked = shard_batch(self.mesh, stacked,
+                                          batch_axis_index=1)
+                multi = self.multi_sup if use_gt_p >= 1.0 else self.multi_ss
+                extra = () if use_gt_p >= 1.0 else (use_gt_p,)
+                self.state, stats_k = multi(self.state, stacked,
+                                            self._next_key(), epoch, *extra)
+                stats = jax.tree_util.tree_map(
+                    lambda x: x.mean(0) if hasattr(x, "ndim") and x.ndim
+                    else x, stats_k)
             else:
-                self.state, stats = self.ss_step(
-                    self.state, batch, self._next_key(), epoch, use_gt_p)
+                for batch in chunk:
+                    if self.mesh is not None:
+                        batch = shard_batch(self.mesh, batch)
+                    if use_gt_p >= 1.0:
+                        self.state, stats = self.sup_step(
+                            self.state, batch, self._next_key(), epoch)
+                    else:
+                        self.state, stats = self.ss_step(
+                            self.state, batch, self._next_key(), epoch,
+                            use_gt_p)
+            i += len(chunk)
             tracker.update(stats, global_step=int(self.state.step))
-            if (i + 1) % rc.print_every == 0:
-                Logger.log(f"epoch {epoch} {tracker.progress_str(i + 1, n)} "
+            if (i // max(k, 1)) % rc.print_every == 0 or i >= n:
+                Logger.log(f"epoch {epoch} {tracker.progress_str(i, n)} "
                            f"(gt_p={use_gt_p:.2f})")
         return tracker.averages().get("total_loss", float("nan"))
 

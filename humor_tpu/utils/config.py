@@ -137,6 +137,9 @@ class TrainCLIConfig:
     val_every: int = 2
     save_every: int = 25
     print_every: int = 10
+    # k > 1 scans k train steps per device dispatch (train.step
+    # .make_multi_steps) — amortizes fixed dispatch cost on small models
+    steps_per_dispatch: int = 1
     ckpt: str = ""
     no_load_optim: bool = False
     steps_per_epoch: int = 200
