@@ -330,9 +330,22 @@ def rollout_latent_motion(cfg: TTOConfig, models: TTOModels,
         "joints_vel": variables["joints_vel"][:, 0].reshape(B, -1),
     }
 
+    # canonicalize_input: the model's prior/decoder were trained on
+    # heading-canonical past frames. The reference rolls out with
+    # canonicalize_input=False (motion_optimizer.py:408,542,616) because
+    # its inputs are always near-canonical already — AMASS fit windows are
+    # aligned per window, and compute_cam2prior heading-aligns the RGB
+    # path — so canonicalization is ~identity there. Our TTO accepts
+    # arbitrary world-frame observations; skipping it puts the FIRST step
+    # out of distribution and the open-loop chain compounds the error
+    # (measured on the synthetic fixture: T=60 init-rollout MPJPE 3.16 m
+    # -> 0.42 m with canonicalization; RESULTS.md). uncanonicalize_output
+    # returns the trajectory in the input frame, so downstream energies
+    # are unchanged.
     roll = H.rollout(models.humor_cfg, models.humor,
                      jax.random.PRNGKey(0), init_state, Tm1,
-                     z_seq=latent_motion)
+                     z_seq=latent_motion,
+                     canonicalize_input=True, uncanonicalize_output=True)
     w = roll.world
 
     root_mats = w["root_orient"].reshape(B, Tm1, 3, 3)
