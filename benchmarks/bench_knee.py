@@ -82,6 +82,17 @@ def main():
     ap.add_argument("--scales", default="1,2,4,8,20")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--linesearch", default="parallel")
+    # fixture-model quality: the T=60 open-loop rollout needs a prior
+    # trained with long scheduled-sampling windows, or stage 3 measures
+    # model capacity instead of optimizer effort (the reference's
+    # released checkpoint is a fully-trained prior — the bigger fixture
+    # is the honest analogue)
+    ap.add_argument("--sup-steps", type=int, default=4000)
+    ap.add_argument("--ss-steps", type=int, default=1200)
+    ap.add_argument("--ss-len", type=int, default=30)
+    ap.add_argument("--cache", default="/tmp/humor_knee_models.npz",
+                    help="npz cache for the trained fixture models "
+                         "('' = retrain)")
     args = ap.parse_args()
 
     import jax
@@ -98,7 +109,10 @@ def main():
     from humor_tpu.testing import trained_tto_models
 
     t0 = time.time()
-    models = trained_tto_models()
+    models = trained_tto_models(sup_steps=args.sup_steps,
+                                ss_steps=args.ss_steps,
+                                ss_len=args.ss_len,
+                                cache=args.cache or None)
     print(f"[knee] models trained in {time.time()-t0:.0f}s",
           file=sys.stderr)
 

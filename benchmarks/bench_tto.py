@@ -27,10 +27,22 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 B, T = 2, 60
 NUM_ITERS = (30, 70, 70)
+# Headline iteration budget = KNEE_SCALE x the reference's outer counts.
+# benchmarks/bench_knee.py (trained fixture, T=60, chip, round 3):
+# stage-3 MPJPE saturates 0.400 -> 0.161 -> 0.116 -> 0.108 -> 0.108 m
+# across scales 1/2/4/8/16 on the attribution seed, and cross-seed
+# medians peak AT scale 4 — so scale 4 is where added effort stops
+# buying accuracy (within 7% of the scale-8 plateau at half the time).
+# Our num_iters count TRUE L-BFGS iterations while the reference's count
+# outer torch-LBFGS steps of up to 20 inner iterations each, so this is
+# ~1/5 of the reference's worst-case effective budget — but past OUR
+# measured accuracy knee, which is the defensible stopping point
+# (RESULTS.md "accuracy-vs-effort knee").
+KNEE_SCALE = 4
 V_VERTS, V_JOINTS = 6890, 52  # real SMPL+H scale
 
 
-def bench_ours(quick=False, batch=B):
+def bench_ours(quick=False, batch=B, scale=KNEE_SCALE):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -68,7 +80,7 @@ def bench_ours(quick=False, batch=B):
                             jnp.zeros((batch, 16)), verts="none")
         return {"joints3d": gt["joints3d"]}
 
-    iters = (4, 4, 4) if quick else NUM_ITERS
+    iters = (4, 4, 4) if quick else tuple(n * scale for n in NUM_ITERS)
     w1 = E.StageWeights(joints3d=1.0)
     w2 = E.StageWeights(joints3d=1.0, pose_prior=2e-4,
                         shape_prior=1.67e-4, joints3d_smooth=10.0)
@@ -78,8 +90,8 @@ def bench_ours(quick=False, batch=B):
                         contact_vel=1.0, contact_height=1.0)
     cfg = O.TTOConfig(seq_len=T, stage_weights=(w1, w2, w3),
                       num_iters=iters,
-                      stage3_freeze_start=min(30, iters[2]),
-                      stage3_freeze_end=min(55, iters[2]))
+                      stage3_freeze_start=min(30 * scale, iters[2]),
+                      stage3_freeze_end=min(55 * scale, iters[2]))
     runner = O.make_runner(cfg, models)
 
     res = runner(make_obs(0))  # compile
@@ -202,6 +214,10 @@ def main():
     ap.add_argument("--batch", type=int, default=B,
                     help="window batch size (default 2 = the driver "
                          "baseline; larger batches measure throughput)")
+    ap.add_argument("--scale", type=int, default=KNEE_SCALE,
+                    help="iteration-budget multiple of the reference's "
+                         "outer counts (default = the measured accuracy "
+                         "knee, bench_knee.py)")
     args = ap.parse_args()
 
     import jax
@@ -211,11 +227,11 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
-    ours = bench_ours(quick=args.quick, batch=args.batch)
-    scale = 1.0
+    ours = bench_ours(quick=args.quick, batch=args.batch,
+                      scale=args.scale)
     if args.quick:
-        scale = sum(NUM_ITERS) / 12.0  # extrapolate quick iters
-        ours = ours * scale
+        # extrapolate quick iters to the full budget at args.scale
+        ours = ours * (args.scale * sum(NUM_ITERS)) / 12.0
     try:
         ref = bench_reference_style(quick=args.quick)
         # the torch-CPU baseline is measured at B=2; normalize both sides
@@ -230,6 +246,7 @@ def main():
         "unit": "s",
         "vs_baseline": round(vs, 2),
         "baseline_s": round(ref, 3),
+        "num_iters": [n * args.scale for n in NUM_ITERS],
     }
     if args.batch != B:
         out["windows_per_s"] = round(args.batch / ours, 2)

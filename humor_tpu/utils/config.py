@@ -208,9 +208,11 @@ class FitCLIConfig:
     # multiplies every stage's iteration budget. Our num_iters count TRUE
     # L-BFGS iterations; the reference's count outer torch-LBFGS steps of
     # up to 20 inner iterations each, so --num-iters-scale 20 reproduces
-    # the reference's full effective optimization effort (see RESULTS.md
-    # "Iteration-budget semantics" for the measured accuracy/time curve)
-    num_iters_scale: int = 1
+    # the reference's full effective optimization effort. Default 4 = the
+    # measured accuracy knee: synthetic-GT recovery saturates there and
+    # more effort buys nothing (RESULTS.md "accuracy-vs-effort knee";
+    # --num-iters-scale 1 for quick low-fidelity fits)
+    num_iters_scale: int = 4
     lbfgs_max_iter: int = 20   # zoom probe budget (zoom search only)
     # "parallel" (speculative vectorized strong-Wolfe, one vmapped eval
     # per iteration) or "zoom" (sequential, reference torch semantics)
