@@ -29,6 +29,12 @@ def main():
     ap.add_argument("--no-smpl-losses", action="store_true",
                     help="disable the gendered SMPL joint/mesh losses "
                          "(isolates the CVAE+ELBO cost)")
+    ap.add_argument("--steps-per-dispatch", type=int, default=1,
+                    help="k>1 scans k steps over stacked batches in one "
+                         "device program (train/step.make_multi_steps), "
+                         "amortizing the ~32-44 ms fixed dispatch cost; "
+                         "reported wall-clock and transitions/s are "
+                         "per single step")
     args = ap.parse_args()
 
     from humor_tpu.utils.platform import setup_platform
@@ -60,7 +66,12 @@ def main():
         lcfg = LossConfig()
         smpl_models = {"male": model, "female": model}
     sup, ss, _ = TS.make_train_steps(cfg, lcfg, opt, smpl_models)
-    step = ss if args.ss else sup
+    k = args.steps_per_dispatch
+    if k > 1:
+        multi_sup, multi_ss = TS.make_multi_steps(sup, ss, k)
+        step = multi_ss if args.ss else multi_sup
+    else:
+        step = ss if args.ss else sup
 
     def make_batch(seed):
         world, meta = synthetic_world_batch(seed, args.batch, T + 1,
@@ -69,29 +80,40 @@ def main():
         return {"data_in": data_in, "data_out": data_out,
                 "betas": meta["betas"], "gender_ids": meta["gender_ids"]}
 
-    batches = [make_batch(s) for s in range(4)]
+    def make_dispatch_batch(seed):
+        if k == 1:
+            return make_batch(seed)
+        import jax.numpy as jnp
+        stack = [make_batch(seed * k + j) for j in range(k)]
+        return jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs, axis=0), *stack)
+
+    batches = [make_dispatch_batch(s) for s in range(4)]
     key = jax.random.PRNGKey(1)
 
-    def run(i):
+    def run(st_in, i):
         extra = (0.5,) if args.ss else ()
-        return step(state, batches[i % 4], jax.random.fold_in(key, i), 20,
+        return step(st_in, batches[i % 4], jax.random.fold_in(key, i), 20,
                     *extra)
 
-    # compile + warm the tunnel
+    # compile + warm the tunnel. The multi-step path donates its input
+    # state (make_multi_steps donate_argnums=0), so thread the returned
+    # state through instead of reusing the original buffer.
     for i in range(6):
-        st, stats = run(i)
+        state, stats = run(state, i)
         jax.block_until_ready(stats["total_loss"])
     times = []
     for i in range(10):
         t0 = time.perf_counter()
-        st, stats = run(6 + i)
+        state, stats = run(state, 6 + i)
         jax.block_until_ready(stats["total_loss"])
         times.append(time.perf_counter() - t0)
     times.sort()
-    dt = times[len(times) // 2]
+    dt = times[len(times) // 2] / k  # per single step
     print(json.dumps({
         "metric": ("sched_samp" if args.ss else "supervised")
-        + f"_step_b{args.batch}x{T}",
+        + f"_step_b{args.batch}x{T}"
+        + (f"_k{k}" if k > 1 else ""),
         "value": round(dt * 1000.0, 2),
         "unit": "ms",
         "dtype": args.dtype or "float32",
