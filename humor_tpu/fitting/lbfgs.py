@@ -83,6 +83,9 @@ def run_lbfgs(
     has_aux: bool = False,
     linesearch: str = "parallel",
     num_candidates: int = 8,
+    tol_grad: Optional[float] = None,
+    tol_change: Optional[float] = None,
+    stall_patience: int = 3,
 ) -> LbfgsResult:
     """Minimize `loss_fn(params, *args)` with L-BFGS + strong-Wolfe line
     search ("parallel" speculative-vectorized by default, "zoom" for
@@ -96,9 +99,23 @@ def run_lbfgs(
     the parallel search's budget is `num_candidates` (its grid size) —
     each knob applies only to its own search.
 
+    tol_grad / tol_change: convergence early exit (the reference's torch
+    LBFGS semantics — tolerance_grad/tolerance_change,
+    torch/optim/lbfgs.py defaults 1e-7/1e-9). When either is set, the
+    iteration loop becomes a `lax.while_loop` that stops once the masked
+    gradient inf-norm is <= tol_grad, or once `stall_patience`
+    CONSECUTIVE iterations each move the params by <= tol_change
+    (inf-norm). The patience window absorbs single monotone-safeguard
+    restarts (a rejected step moves nothing but the NEXT steepest-descent
+    step may recover); a persistent stall is a converged/stuck fixed
+    point — the knee sweep measured entire doublings of the iteration
+    budget changing nothing (RESULTS.md). Both None (default) keeps the
+    fixed-length `lax.scan`, bit-identical to previous behavior. The
+    unreached tail of `loss_history` is filled with the final value.
+
     Jit-safe: call inside jit, or jit the caller. `num_iters`,
     `history_size`, `max_linesearch_steps`, `linesearch`,
-    `num_candidates` are static.
+    `num_candidates`, the tolerances, and `stall_patience` are static.
     """
     if has_aux:
         def value_fn(p, *a):
@@ -130,7 +147,15 @@ def run_lbfgs(
     grads0 = _masked(grads0, mask)
     init_carry = (init_params, opt_init(init_params), init_params,
                   jnp.asarray(jnp.inf), value0, grads0) + extra0
-    carry, losses = jax.lax.scan(step, init_carry, None, length=num_iters)
+    if tol_grad is None and tol_change is None:
+        carry, losses = jax.lax.scan(step, init_carry, None,
+                                     length=num_iters)
+    else:
+        carry, losses = _while_until_converged(
+            step, init_carry, num_iters,
+            0.0 if tol_grad is None else tol_grad,
+            0.0 if tol_change is None else tol_change,
+            stall_patience)
     params, _, best_params, best_val, final_value, _ = carry[:6]
 
     # the scan's best-tracking lags one evaluation behind: fold in the
@@ -145,6 +170,47 @@ def run_lbfgs(
         final_loss, aux = loss_fn(params, *args), None
     return LbfgsResult(params=params, loss=final_loss,
                        loss_history=losses, stats_history=aux)
+
+
+def _tree_inf_norm(tree: Any) -> jnp.ndarray:
+    leaves = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(lambda x: jnp.max(jnp.abs(x)), tree))
+    return jax.tree_util.tree_reduce(jnp.maximum, leaves,
+                                     jnp.asarray(0.0))
+
+
+def _while_until_converged(step, init_carry, num_iters, tol_grad,
+                           tol_change, stall_patience):
+    """Run the scan-step body under `lax.while_loop` with the torch-LBFGS
+    convergence exits (see run_lbfgs docstring). Identical math per
+    iteration; only the trip count is dynamic."""
+    losses0 = jnp.full((num_iters,), jnp.nan,
+                       dtype=jnp.asarray(init_carry[4]).dtype)
+
+    def cond(state):
+        i, _, _, stall = state
+        return (i < num_iters) & (stall < stall_patience)
+
+    def body(state):
+        i, carry, losses, stall = state
+        params_old = carry[0]
+        new_carry, val = step(carry, None)
+        losses = losses.at[i].set(val)
+        change = _tree_inf_norm(jax.tree_util.tree_map(
+            lambda a, b: a - b, new_carry[0], params_old))
+        gnorm = _tree_inf_norm(new_carry[5])  # already masked
+        stall = jnp.where(change <= tol_change, stall + 1, 0)
+        stall = jnp.where(gnorm <= tol_grad,
+                          jnp.asarray(stall_patience, stall.dtype), stall)
+        return i + 1, new_carry, losses, stall
+
+    _, carry, losses, _ = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0, jnp.int32), init_carry, losses0,
+                     jnp.asarray(0, jnp.int32)))
+    # fill the unreached tail with the final value so downstream loss
+    # logs stay finite
+    losses = jnp.where(jnp.isnan(losses), carry[4], losses)
+    return carry, losses
 
 
 class _Step:

@@ -74,6 +74,12 @@ class TTOConfig:
     # K*B ~ 128 — small batches get a finer grid at no cost, large
     # batches shed candidates instead of paying extra MXU passes.
     lbfgs_candidates: Optional[int] = 8
+    # convergence early exit (reference torch-LBFGS tolerance_grad /
+    # tolerance_change semantics; run_lbfgs docstring). None = fixed
+    # iteration count (lax.scan); set e.g. 1e-7 / 1e-9 (torch defaults)
+    # to stop converged stages early under a lax.while_loop.
+    lbfgs_tol_grad: Optional[float] = None
+    lbfgs_tol_change: Optional[float] = None
     data_fps: float = 30.0
     optim_floor: bool = False
     stage3_tune_init_state: bool = True
@@ -508,7 +514,9 @@ def make_runner(cfg: TTOConfig, models: TTOModels, mesh=None,
                          max_linesearch_steps=cfg.lbfgs_max_linesearch,
                          linesearch=cfg.lbfgs_linesearch,
                          num_candidates=resolve_candidates(
-                             cfg.lbfgs_candidates, batch_size_of(observed)))
+                             cfg.lbfgs_candidates, batch_size_of(observed)),
+                         tol_grad=cfg.lbfgs_tol_grad,
+                         tol_change=cfg.lbfgs_tol_change)
 
     # ---- stage 1/2 losses
     def stage1_loss(v, observed):

@@ -101,3 +101,43 @@ def test_armijo_matches_zoom_quality():
         ra = run_lbfgs(loss, init, num_iters=iters, linesearch="armijo")
         assert float(ra.loss) <= float(rz.loss) + 1e-5, (
             f"armijo {float(ra.loss)} worse than zoom {float(rz.loss)}")
+
+
+def test_tolerance_early_exit_matches_scan():
+    """tol_grad/tol_change switch the iteration loop to lax.while_loop
+    (run_lbfgs docstring — the reference's torch-LBFGS tolerance exits).
+    On a benign quadratic the early-exit run must reach the same optimum
+    as the fixed-length scan, and the unreached loss_history tail must be
+    filled with the final value (finite, monotone-consistent logs)."""
+    A = jnp.asarray(np.diag([1.0, 10.0, 100.0]), jnp.float32)
+    b = jnp.asarray([1.0, -2.0, 3.0], jnp.float32)
+
+    def loss(p):
+        x = p["x"]
+        return 0.5 * x @ A @ x - b @ x
+
+    init = {"x": jnp.zeros(3)}
+    ref = run_lbfgs(loss, init, num_iters=200)
+    res = jax.jit(lambda p: run_lbfgs(loss, p, num_iters=200,
+                                      tol_grad=1e-7,
+                                      tol_change=1e-9))(init)
+    np.testing.assert_allclose(np.asarray(res.params["x"]),
+                               np.asarray(ref.params["x"]), atol=1e-5)
+    hist = np.asarray(res.loss_history)
+    assert np.all(np.isfinite(hist))
+    # converged long before 200 iterations: the filled tail is constant
+    assert hist[-1] == hist[-50]
+
+
+def test_tolerance_early_exit_with_mask():
+    """Frozen variables must not keep the loop alive (their zero grads
+    and zero updates are excluded by the mask before the norms)."""
+    def loss(p):
+        return jnp.sum((p["a"] - 3.0) ** 2) + jnp.sum((p["b"] + 1.0) ** 2)
+
+    init = {"a": jnp.zeros(2), "b": jnp.zeros(2)}
+    mask = make_mask(init, lambda k: k == "a")
+    res = run_lbfgs(loss, init, num_iters=100, mask=mask,
+                    tol_grad=1e-7, tol_change=1e-9)
+    np.testing.assert_allclose(np.asarray(res.params["a"]), 3.0, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(res.params["b"]), 0.0)
