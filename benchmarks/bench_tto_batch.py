@@ -66,7 +66,15 @@ def main():
         occ[:, T // 3: 2 * T // 3] = np.inf
         return {"joints3d": jnp.asarray(occ)}, gt
 
-    def make_cfg(linesearch):
+    def make_cfg(variant):
+        # "<linesearch>" or "<linesearch>@tol" (torch-default convergence
+        # early exit: tolerance_grad 1e-7 / tolerance_change 1e-9)
+        name, _, opt = variant.partition("@")
+        extra = {}
+        if opt == "tol":
+            extra = dict(lbfgs_tol_grad=1e-7, lbfgs_tol_change=1e-9)
+        elif opt:
+            raise ValueError(f"unknown variant option {opt!r}")
         w1 = E.StageWeights(joints3d=1.0)
         w2 = E.StageWeights(joints3d=1.0, pose_prior=4e-4,
                             shape_prior=6e-3, joints3d_smooth=0.1)
@@ -78,8 +86,9 @@ def main():
         return O.TTOConfig(
             seq_len=T, stage_weights=(w1, w2, w3),
             num_iters=tuple(n * s for n in BASE_ITERS),
-            lbfgs_linesearch=linesearch, lbfgs_candidates=0,  # auto-K
-            stage3_freeze_start=30 * s, stage3_freeze_end=55 * s)
+            lbfgs_linesearch=name, lbfgs_candidates=0,  # auto-K
+            stage3_freeze_start=30 * s, stage3_freeze_end=55 * s,
+            **extra)
 
     variants = args.variants.split(",")
     runners = {v: O.make_runner(make_cfg(v), models) for v in variants}

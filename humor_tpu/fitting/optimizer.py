@@ -62,11 +62,17 @@ class TTOConfig:
     num_iters: Tuple[int, int, int] = (30, 70, 70)
     lbfgs_max_linesearch: int = 20  # zoom search only (probe budget)
     lbfgs_history: int = 10
+    # "auto" (default): "parallel" at small window batches, "armijo" at
+    # B >= 12. Chip A/B at the knee budget (RESULTS.md "line-search
+    # choice by batch"): parallel wins 13% at B=2 (its value+grad
+    # candidates ride idle MXU lanes), armijo wins 38% at B=16 (the
+    # batch fills the lanes, so value-only candidates halve the grid's
+    # cost; its one value_and_grad runs at the accepted point only).
     # "parallel": speculative vectorized strong-Wolfe search (one vmapped
-    # closure eval per iteration — the TTO closures are latency-bound at
-    # small B, so K candidates cost ~one eval); "zoom": optax sequential
-    # zoom (the reference's torch strong_wolfe semantics, 2-8+ evals/iter)
-    lbfgs_linesearch: str = "parallel"
+    # closure eval per iteration); "armijo": value-only speculative grid;
+    # "zoom": optax sequential zoom (the reference's torch strong_wolfe
+    # semantics, 2-8+ evals/iter)
+    lbfgs_linesearch: str = "auto"
     # parallel/armijo search grid size; None = auto by batch:
     # K = clamp(128 // B, 4, 16). Rationale (RESULTS.md round 3): the
     # candidate-grid rollout runs at M = K*B MXU rows and every weight
@@ -509,12 +515,18 @@ def make_runner(cfg: TTOConfig, models: TTOModels, mesh=None,
     w1, w2, w3 = cfg.stage_weights
 
     def _lbfgs(loss_fn, vars_, iters, observed, mask=None):
+        B = batch_size_of(observed)
+        linesearch = cfg.lbfgs_linesearch
+        if linesearch == "auto":
+            # measured crossover (RESULTS.md "line-search choice by
+            # batch"): parallel 13% faster at B=2, armijo 38% at B=16
+            linesearch = "parallel" if B < 12 else "armijo"
         return run_lbfgs(loss_fn, vars_, iters, observed, mask=mask,
                          history_size=cfg.lbfgs_history,
                          max_linesearch_steps=cfg.lbfgs_max_linesearch,
-                         linesearch=cfg.lbfgs_linesearch,
+                         linesearch=linesearch,
                          num_candidates=resolve_candidates(
-                             cfg.lbfgs_candidates, batch_size_of(observed)),
+                             cfg.lbfgs_candidates, B),
                          tol_grad=cfg.lbfgs_tol_grad,
                          tol_change=cfg.lbfgs_tol_change)
 

@@ -217,9 +217,12 @@ class FitCLIConfig:
     # --num-iters-scale 1 for quick low-fidelity fits)
     num_iters_scale: int = 4
     lbfgs_max_iter: int = 20   # zoom probe budget (zoom search only)
+    # "auto" (parallel at small window batches, armijo at B >= 12 —
+    # measured crossover, RESULTS.md "line-search choice by batch"),
     # "parallel" (speculative vectorized strong-Wolfe, one vmapped eval
-    # per iteration) or "zoom" (sequential, reference torch semantics)
-    lbfgs_linesearch: str = "parallel"
+    # per iteration), "armijo" (value-only speculative grid), or "zoom"
+    # (sequential, reference torch semantics)
+    lbfgs_linesearch: str = "auto"
     # parallel/armijo grid size; 0 = auto-scale by window batch
     # (K = clamp(128 // B, 4, 16) — see fitting/optimizer.resolve_candidates)
     lbfgs_candidates: int = 8

@@ -172,6 +172,50 @@ def test_motion_prior_inpaints_occlusion(recovered, gt_joints):
     assert occ_s3 < occ_s2 * 0.6, (occ_s2, occ_s3)
 
 
+def test_init_rollout_is_frame_equivariant(models):
+    """Translating the initial state and observations by +5 m must
+    translate the stage-3 latent rollout by exactly +5 m — the TTO-level
+    version of the reference's canonicalization probe (test_humor.py:
+    284-286). Guards the round-3 first-step canonicalization fix
+    (rollout_latent_motion, fitting/optimizer.py): without
+    canonicalize_input the rollout's first step sees the raw world frame
+    and the trajectory DEPENDS on the world origin (measured 3.16 m
+    MPJPE drift at arbitrary offsets, RESULTS.md "Numerical findings"
+    #4). Unlike a full-fit comparison this is deterministic — no
+    fp-chaotic L-BFGS trajectory in the loop (a full-fit A/B measured a
+    0.08 m quality delta from line-search chaos alone at this budget)."""
+    import jax.numpy as jnp
+
+    from humor_tpu.ops import transforms
+
+    wt, meta = synthetic_world_batch(778, B, T, model=MODEL)
+    trans = jnp.asarray(wt["trans"])
+    root = transforms.rotmat_to_aa(
+        jnp.asarray(np.asarray(wt["root_orient"]).reshape(B, T, 3, 3)))
+    pose = transforms.rotmat_to_aa(
+        jnp.asarray(np.asarray(wt["pose_body"]).reshape(B, T, 21, 3, 3))
+    ).reshape(B, T, 63)
+    betas = jnp.asarray(meta["betas"])
+    cfg = O.TTOConfig(seq_len=T)
+
+    def roll(tr):
+        zm = O.infer_latent_motion(models, tr, root, pose, betas, 30.0)
+        tv, jv, rv = O.estimate_velocities(models.body, tr, root, pose,
+                                           betas, 30.0)
+        lp = O.vp.pose2latent(models.vposer_cfg, models.vposer, pose)
+        vars_ = {"trans": tr[:, :1], "root_orient": root[:, :1],
+                 "latent_pose": lp[:, :1], "betas": betas,
+                 "trans_vel": tv[:, :1], "joints_vel": jv[:, :1],
+                 "root_orient_vel": rv[:, :1]}
+        out, _ = O.rollout_latent_motion(cfg, models, vars_, zm)
+        return np.asarray(out["joints"])
+
+    off = np.asarray([5.0, 5.0, 0.0], np.float32)
+    j_base = roll(trans)
+    j_shift = roll(trans + off)
+    np.testing.assert_allclose(j_shift, j_base + off, atol=5e-3)
+
+
 def test_betas_stay_bounded(recovered):
     """GT betas are ~N(0, 0.5); the fit must not absorb noise into
     extreme shapes (shape prior active in stages 2/3)."""
