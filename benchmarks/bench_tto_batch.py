@@ -71,8 +71,10 @@ def main():
         # early exit: tolerance_grad 1e-7 / tolerance_change 1e-9)
         name, _, opt = variant.partition("@")
         extra = {}
-        if opt == "tol":
+        if opt.startswith("tol"):
             extra = dict(lbfgs_tol_grad=1e-7, lbfgs_tol_change=1e-9)
+            if opt[3:]:
+                extra["lbfgs_stall_patience"] = int(opt[3:])
         elif opt:
             raise ValueError(f"unknown variant option {opt!r}")
         w1 = E.StageWeights(joints3d=1.0)

@@ -108,6 +108,9 @@ def main(argv=None) -> Dict:
         lbfgs_max_linesearch=cfg.lbfgs_max_iter,
         lbfgs_linesearch=cfg.lbfgs_linesearch,
         lbfgs_candidates=cfg.lbfgs_candidates or None,
+        lbfgs_tol_grad=cfg.lbfgs_tol_grad or None,
+        lbfgs_tol_change=cfg.lbfgs_tol_change or None,
+        lbfgs_stall_patience=cfg.lbfgs_stall_patience,
         stage3_tune_init_state=not cfg.stage3_no_tune_init_state,
         stage3_tune_init_num_frames=cfg.stage3_tune_init_num_frames,
         stage3_freeze_start=cfg.stage3_freeze_start * cfg.num_iters_scale,
@@ -278,6 +281,9 @@ def _run_rgb(cfg, models):
         lbfgs_max_linesearch=cfg.lbfgs_max_iter,
         lbfgs_linesearch=cfg.lbfgs_linesearch,
         lbfgs_candidates=cfg.lbfgs_candidates or None,
+        lbfgs_tol_grad=cfg.lbfgs_tol_grad or None,
+        lbfgs_tol_change=cfg.lbfgs_tol_change or None,
+        lbfgs_stall_patience=cfg.lbfgs_stall_patience,
         optim_floor=True,
         stage3_tune_init_state=not cfg.stage3_no_tune_init_state,
         stage3_tune_init_num_frames=cfg.stage3_tune_init_num_frames,

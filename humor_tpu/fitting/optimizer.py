@@ -86,6 +86,10 @@ class TTOConfig:
     # to stop converged stages early under a lax.while_loop.
     lbfgs_tol_grad: Optional[float] = None
     lbfgs_tol_change: Optional[float] = None
+    # consecutive sub-tol_change iterations before the early exit fires;
+    # must absorb monotone-safeguard restart cycles (reject-restart-
+    # recover), which move nothing for a few iterations but then progress
+    lbfgs_stall_patience: int = 3
     data_fps: float = 30.0
     optim_floor: bool = False
     stage3_tune_init_state: bool = True
@@ -528,7 +532,8 @@ def make_runner(cfg: TTOConfig, models: TTOModels, mesh=None,
                          num_candidates=resolve_candidates(
                              cfg.lbfgs_candidates, B),
                          tol_grad=cfg.lbfgs_tol_grad,
-                         tol_change=cfg.lbfgs_tol_change)
+                         tol_change=cfg.lbfgs_tol_change,
+                         stall_patience=cfg.lbfgs_stall_patience)
 
     # ---- stage 1/2 losses
     def stage1_loss(v, observed):

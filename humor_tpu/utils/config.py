@@ -226,6 +226,15 @@ class FitCLIConfig:
     # parallel/armijo grid size; 0 = auto-scale by window batch
     # (K = clamp(128 // B, 4, 16) — see fitting/optimizer.resolve_candidates)
     lbfgs_candidates: int = 8
+    # convergence early exit (torch LBFGS tolerance semantics). 0 = off
+    # (full fixed budget — the accuracy-first default); the torch values
+    # 1e-7/1e-9 cut the knee-budget fit ~3x at a measured ~16% median
+    # MPJPE cost on hard synthetic seeds (RESULTS.md "convergence early
+    # exit") — the right trade for interactive/preview fits, not for
+    # benchmark-accuracy ones
+    lbfgs_tol_grad: float = 0.0
+    lbfgs_tol_change: float = 0.0
+    lbfgs_stall_patience: int = 3
     stage3_tune_init_num_frames: int = 15
     stage3_freeze_start: int = 30
     stage3_freeze_end: int = 55
