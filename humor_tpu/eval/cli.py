@@ -41,7 +41,18 @@ def main(argv=None) -> Dict:
         print("[test] no checkpoint; using random init")
         params = H.init_params(model_cfg, jax.random.PRNGKey(0))
 
-    dataset = build_dataset(cfg, cfg.test_datasets)
+    from humor_tpu.data import amass as A
+
+    # split selection (reference --test-on-train/--test-on-val,
+    # test_humor.py via utils/config.py:146-148): explicit
+    # --test-datasets wins; otherwise the HuMoR paper split constants
+    split_names = A.TEST_DATASETS
+    if cfg.test_on_train:
+        split_names = A.TRAIN_DATASETS
+    elif cfg.test_on_val:
+        split_names = A.VAL_DATASETS
+    dataset = build_dataset(cfg, cfg.test_datasets,
+                            default_names=split_names)
     key = jax.random.PRNGKey(cfg.seed)
     results: Dict = {}
 

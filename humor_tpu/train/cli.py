@@ -14,12 +14,21 @@ from typing import Dict, Optional
 import numpy as np
 
 
-def build_dataset(cfg, datasets, fallback_seed=0):
+def build_dataset(cfg, datasets, fallback_seed=0, default_names=None):
     """Processed-npz dataset if data exists, else synthetic (so the CLI is
-    runnable without licensed AMASS data)."""
+    runnable without licensed AMASS data).
+
+    default_names: the HuMoR paper split for this role (data/amass.py
+    TRAIN/VAL/TEST_DATASETS), used when `datasets` is empty — the
+    reference's split_by='dataset' defaults (amass_discrete_dataset.py:
+    148-152). If the default split names match nothing (custom data
+    layouts), all processed files are used instead."""
     from humor_tpu.data.dataset import AmassDataset, find_processed_files
 
-    paths = find_processed_files(cfg.data_path, datasets or None)
+    names = list(datasets) if datasets else list(default_names or ())
+    paths = find_processed_files(cfg.data_path, names or None)
+    if not paths and names and not datasets:
+        paths = find_processed_files(cfg.data_path, None)
     if paths:
         return AmassDataset.from_npz_files(paths)
     from humor_tpu.body_model.smpl import synthetic_smpl_model
@@ -139,10 +148,15 @@ def main(argv=None) -> Dict[str, float]:
         use_smpl_joint_inputs=cfg.model_use_smpl_joint_inputs,
         steps_per_dispatch=cfg.steps_per_dispatch)
 
-    train_ds = build_dataset(cfg, cfg.train_datasets)
+    from humor_tpu.data import amass as A
+
+    train_ds = build_dataset(cfg, cfg.train_datasets,
+                             default_names=A.TRAIN_DATASETS)
     # validation always runs (reference train_humor.py:248-299);
-    # cfg.val_datasets narrows which datasets feed it (empty = all)
-    val_ds = build_dataset(cfg, cfg.val_datasets, fallback_seed=1)
+    # cfg.val_datasets narrows which datasets feed it (empty = the HuMoR
+    # paper val split, falling back to all for custom layouts)
+    val_ds = build_dataset(cfg, cfg.val_datasets, fallback_seed=1,
+                           default_names=A.VAL_DATASETS)
     # need sample_num_frames transitions + steps_in past frames
     window = cfg.sample_num_frames + cfg.model_steps_in
     # HuMoR-Qual training needs the body models even with SMPL losses off

@@ -160,6 +160,12 @@ class TestCLIConfig:
     ckpt: str = ""
     out: str = "./out/humor_test"
     eval_test: bool = False
+    # evaluate on the train/val split instead of test (reference
+    # --test-on-train/--test-on-val, utils/config.py:146-148); with an
+    # empty --test-datasets the split resolves to the HuMoR paper
+    # dataset constants (data/amass.py)
+    test_on_train: bool = False
+    test_on_val: bool = False
     eval_sampling: bool = False
     qual: bool = False  # HuMoR-Qual: SMPL-joint feedback during rollout
     viz: bool = False   # render skeleton gifs of sampling/recon outputs
