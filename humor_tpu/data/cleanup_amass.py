@@ -42,13 +42,16 @@ def find_bad_sequences(data_root: str) -> List[str]:
     return sorted(out)
 
 
-def cleanup(data_root: str, removed_dirname: str = "_removed") -> List[str]:
-    """Move matching sequences to <data_root>/_removed/, preserving the
-    dataset/subject layout. Returns moved paths."""
+def cleanup(data_root: str, backup_dir: str = None) -> List[str]:
+    """Move matching sequences to the backup directory (default
+    <data_root>/_removed/), preserving the dataset/subject layout — the
+    reference's --backup semantics (cleanup_amass_data.py). Returns
+    moved paths."""
+    backup_dir = backup_dir or os.path.join(data_root, "_removed")
     moved = []
     for path in find_bad_sequences(data_root):
         rel = os.path.relpath(path, data_root)
-        dst = os.path.join(data_root, removed_dirname, rel)
+        dst = os.path.join(backup_dir, rel)
         os.makedirs(os.path.dirname(dst), exist_ok=True)
         shutil.move(path, dst)
         moved.append(path)
@@ -60,14 +63,18 @@ def main(argv=None):
 
     p = argparse.ArgumentParser(prog="humor-cleanup-amass")
     p.add_argument("--data-path", required=True)
+    p.add_argument("--backup", default="",
+                   help="where removed sequences are saved (reference "
+                        "--backup; default <data-path>/_removed)")
     p.add_argument("--dry-run", action="store_true")
     args = p.parse_args(argv)
     if args.dry_run:
         for f in find_bad_sequences(args.data_path):
             print(f)
     else:
-        moved = cleanup(args.data_path)
-        print(f"moved {len(moved)} sequences to _removed/")
+        moved = cleanup(args.data_path, args.backup or None)
+        dest = args.backup or "_removed/"
+        print(f"moved {len(moved)} sequences to {dest}")
 
 
 if __name__ == "__main__":
