@@ -85,3 +85,22 @@ def test_sharded_matches_unsharded(models, observed):
         a = np.asarray(res_plain.losses[stage])
         b = np.asarray(res_shard.losses[stage])
         np.testing.assert_allclose(a, b, rtol=2e-2, atol=1e-3)
+
+
+def test_sharded_early_exit_compiles_and_runs(models, observed):
+    """The convergence early exit replaces the iteration scan with a
+    lax.while_loop; its predicate is a replicated scalar, so it must
+    compile and execute under the windows-sharded mesh (collectives
+    inside the loop body, global trip count). Pins finiteness + the same
+    loose agreement with the unsharded tolerance run."""
+    import dataclasses
+
+    cfg = dataclasses.replace(_cfg(), lbfgs_tol_grad=1e-7,
+                              lbfgs_tol_change=1e-9)
+    res_plain = O.make_runner(cfg, models)(observed)
+    mesh = make_mesh(jax.devices()[:8])
+    res_shard = O.make_runner(cfg, models, mesh=mesh)(observed)
+    for k in ("trans", "root_orient", "pose_body"):
+        a, b = np.asarray(res_plain.final[k]), np.asarray(res_shard.final[k])
+        assert np.all(np.isfinite(a)) and np.all(np.isfinite(b))
+        np.testing.assert_allclose(a, b, atol=2e-3, rtol=1e-2)
