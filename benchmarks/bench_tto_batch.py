@@ -70,6 +70,11 @@ def main():
         # "<linesearch>" or "<linesearch>@tol" (torch-default convergence
         # early exit: tolerance_grad 1e-7 / tolerance_change 1e-9)
         name, _, opt = variant.partition("@")
+        if name == "mixed":
+            # per-stage: value-only armijo for the per-frame stages 1/2
+            # (each candidate pays a K*B*T-row SMPL pass), parallel for
+            # the rollout stage (candidates ride idle MXU lanes)
+            name = ("armijo", "armijo", "parallel")
         extra = {}
         if opt.startswith("tol"):
             extra = dict(lbfgs_tol_grad=1e-7, lbfgs_tol_change=1e-9)

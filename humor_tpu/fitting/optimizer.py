@@ -62,17 +62,19 @@ class TTOConfig:
     num_iters: Tuple[int, int, int] = (30, 70, 70)
     lbfgs_max_linesearch: int = 20  # zoom search only (probe budget)
     lbfgs_history: int = 10
-    # "auto" (default): "parallel" at small window batches, "armijo" at
-    # B >= 12. Chip A/B at the knee budget (RESULTS.md "line-search
-    # choice by batch"): parallel wins 13% at B=2 (its value+grad
-    # candidates ride idle MXU lanes), armijo wins 38% at B=16 (the
-    # batch fills the lanes, so value-only candidates halve the grid's
-    # cost; its one value_and_grad runs at the accepted point only).
-    # "parallel": speculative vectorized strong-Wolfe search (one vmapped
-    # closure eval per iteration); "armijo": value-only speculative grid;
-    # "zoom": optax sequential zoom (the reference's torch strong_wolfe
-    # semantics, 2-8+ evals/iter)
-    lbfgs_linesearch: str = "auto"
+    # "auto" (default): per-stage measured policy — value-only "armijo"
+    # for the per-frame stages 1/2 (each candidate pays a K*B*T-row SMPL
+    # pass at any batch), and for the rollout stage 3 "parallel" below
+    # B=12 (value+grad candidates ride idle MXU lanes; 13% faster at
+    # B=2) / "armijo" at or above (38% faster at B=16 where the grid
+    # fills the 128-row MXU tile). Chip A/Bs: RESULTS.md "line-search
+    # choice by batch". Besides "auto": a single name applies to all
+    # stages, a 3-tuple sets each stage — "parallel" (speculative
+    # vectorized strong-Wolfe, one vmapped closure eval per iteration),
+    # "armijo" (value-only speculative grid + one value_and_grad at the
+    # accepted point), "zoom" (optax sequential zoom — the reference's
+    # torch strong_wolfe semantics, 2-8+ evals/iter).
+    lbfgs_linesearch: Any = "auto"
     # parallel/armijo search grid size; None = auto by batch:
     # K = clamp(128 // B, 4, 16). Rationale (RESULTS.md round 3): the
     # candidate-grid rollout runs at M = K*B MXU rows and every weight
@@ -518,13 +520,24 @@ def make_runner(cfg: TTOConfig, models: TTOModels, mesh=None,
     T = cfg.seq_len
     w1, w2, w3 = cfg.stage_weights
 
-    def _lbfgs(loss_fn, vars_, iters, observed, mask=None):
+    def _lbfgs(loss_fn, vars_, iters, observed, mask=None, stage=0):
         B = batch_size_of(observed)
         linesearch = cfg.lbfgs_linesearch
+        if isinstance(linesearch, (tuple, list)):
+            linesearch = linesearch[stage]  # per-stage override
         if linesearch == "auto":
-            # measured crossover (RESULTS.md "line-search choice by
-            # batch"): parallel 13% faster at B=2, armijo 38% at B=16
-            linesearch = "parallel" if B < 12 else "armijo"
+            # measured policy (RESULTS.md "line-search choice by batch"):
+            # per-frame stages 1/2 — value-only armijo (each candidate
+            # pays a K*B*T-row SMPL pass at any batch; mixed beat
+            # all-parallel 1.72 vs 1.80 s at B=2 with equal quality);
+            # rollout stage 3 — parallel at small B (value+grad
+            # candidates ride idle MXU lanes; 13% faster at B=2), armijo
+            # at B >= 12 (38% faster at B=16 where the grid fills the
+            # 128-row tile).
+            if stage < 2:
+                linesearch = "armijo"
+            else:
+                linesearch = "parallel" if B < 12 else "armijo"
         return run_lbfgs(loss_fn, vars_, iters, observed, mask=mask,
                          history_size=cfg.lbfgs_history,
                          max_linesearch_steps=cfg.lbfgs_max_linesearch,
@@ -618,12 +631,12 @@ def make_runner(cfg: TTOConfig, models: TTOModels, mesh=None,
     def _stage1_body(vars_, observed):
         mask = make_mask(vars_, lambda k: k in ("trans", "root_orient"))
         return _lbfgs(stage1_loss, vars_, cfg.num_iters[0], observed,
-                      mask=mask)
+                      mask=mask, stage=0)
 
     def _stage2_body(vars_, observed):
         mask = make_mask(vars_, lambda k: k != "floor_plane")
         return _lbfgs(stage2_loss, vars_, cfg.num_iters[1], observed,
-                      mask=mask)
+                      mask=mask, stage=1)
 
     stage1_step = jax.jit(_stage1_body, donate_argnums=(0,))
     stage2_step = jax.jit(_stage2_body, donate_argnums=(0,))
@@ -675,24 +688,27 @@ def make_runner(cfg: TTOConfig, models: TTOModels, mesh=None,
 
         def _phaseA_body(vars_, observed):
             return _lbfgs(stage3_loss_fn(wA, n_init, 1.0), vars_, f0,
-                          observed, mask=make_mask(vars_, lambda k: True))
+                          observed, mask=make_mask(vars_, lambda k: True),
+                          stage=2)
 
         def _phaseB_body(vars_, observed):
             return _lbfgs(stage3_loss_fn(wB, T, scale), vars_, f1 - f0,
                           observed,
                           mask=make_mask(vars_,
-                                         lambda k: k not in freeze_keys))
+                                         lambda k: k not in freeze_keys),
+                          stage=2)
 
         def _phaseC_body(vars_, observed):
             return _lbfgs(stage3_loss_fn(w3, T, scale), vars_,
                           iters - f1, observed,
-                          mask=make_mask(vars_, lambda k: True))
+                          mask=make_mask(vars_, lambda k: True), stage=2)
 
         stage3_phase_bodies = (_phaseA_body, _phaseB_body, _phaseC_body)
     else:
         def _stage3_single_body(vars_, observed):
             return _lbfgs(stage3_loss_fn(w3, T, 1.0), vars_, iters,
-                          observed, mask=make_mask(vars_, lambda k: True))
+                          observed, mask=make_mask(vars_, lambda k: True),
+                          stage=2)
 
         stage3_phase_bodies = (_stage3_single_body,)
 
