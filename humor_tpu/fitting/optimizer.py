@@ -62,13 +62,12 @@ class TTOConfig:
     num_iters: Tuple[int, int, int] = (30, 70, 70)
     lbfgs_max_linesearch: int = 20  # zoom search only (probe budget)
     lbfgs_history: int = 10
-    # "auto" (default): per-stage measured policy — value-only "armijo"
-    # for the per-frame stages 1/2 (each candidate pays a K*B*T-row SMPL
-    # pass at any batch), and for the rollout stage 3 "parallel" below
-    # B=12 (value+grad candidates ride idle MXU lanes; 13% faster at
-    # B=2) / "armijo" at or above (38% faster at B=16 where the grid
-    # fills the 128-row MXU tile). Chip A/Bs: RESULTS.md "line-search
-    # choice by batch". Besides "auto": a single name applies to all
+    # "auto" (default): "parallel" at small window batches (value+grad
+    # candidates ride idle MXU lanes; 13% faster at B=2), "armijo" at
+    # B >= 12 (38% faster at B=16 where the grid fills the 128-row MXU
+    # tile). Chip A/Bs: RESULTS.md "line-search choice by batch" — which
+    # also documents why a per-stage armijo mix was rejected (2x knee
+    # accuracy regression). Besides "auto": a single name applies to all
     # stages, a 3-tuple sets each stage — "parallel" (speculative
     # vectorized strong-Wolfe, one vmapped closure eval per iteration),
     # "armijo" (value-only speculative grid + one value_and_grad at the
@@ -526,18 +525,13 @@ def make_runner(cfg: TTOConfig, models: TTOModels, mesh=None,
         if isinstance(linesearch, (tuple, list)):
             linesearch = linesearch[stage]  # per-stage override
         if linesearch == "auto":
-            # measured policy (RESULTS.md "line-search choice by batch"):
-            # per-frame stages 1/2 — value-only armijo (each candidate
-            # pays a K*B*T-row SMPL pass at any batch; mixed beat
-            # all-parallel 1.72 vs 1.80 s at B=2 with equal quality);
-            # rollout stage 3 — parallel at small B (value+grad
-            # candidates ride idle MXU lanes; 13% faster at B=2), armijo
-            # at B >= 12 (38% faster at B=16 where the grid fills the
-            # 128-row tile).
-            if stage < 2:
-                linesearch = "armijo"
-            else:
-                linesearch = "parallel" if B < 12 else "armijo"
+            # measured crossover (RESULTS.md "line-search choice by
+            # batch"): parallel 13% faster at B=2, armijo 38% at B=16.
+            # A per-stage mixed policy (armijo for the per-frame stages)
+            # was 4.5% faster still but REGRESSED knee-seed stage-3
+            # accuracy ~2x (weaker stage-2 minima feed the stage-3 init)
+            # — measured and rejected; see the same RESULTS section.
+            linesearch = "parallel" if B < 12 else "armijo"
         return run_lbfgs(loss_fn, vars_, iters, observed, mask=mask,
                          history_size=cfg.lbfgs_history,
                          max_linesearch_steps=cfg.lbfgs_max_linesearch,
