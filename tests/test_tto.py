@@ -199,3 +199,17 @@ def test_auto_candidates_runner_runs(tto_cfg, models, observed):
     res = O.run(cfg, models, observed)
     for k in ("trans", "root_orient"):
         assert np.all(np.isfinite(np.asarray(res.final[k])))
+
+
+def test_per_stage_linesearch_tuple(tto_cfg, models, observed):
+    """lbfgs_linesearch accepts a per-stage 3-tuple (the explicit-mixing
+    escape hatch left after the auto armijo-mix was measured and
+    rejected — RESULTS.md 'line-search choice by batch')."""
+    import dataclasses
+    cfg = dataclasses.replace(
+        tto_cfg, lbfgs_linesearch=("armijo", "armijo", "parallel"),
+        num_iters=(2, 2, 2), stage3_freeze_start=1, stage3_freeze_end=2,
+        stage3_tune_init_num_frames=3)
+    res = O.run(cfg, models, observed)
+    for k in ("trans", "root_orient"):
+        assert np.all(np.isfinite(np.asarray(res.final[k])))
