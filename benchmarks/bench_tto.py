@@ -42,13 +42,20 @@ KNEE_SCALE = 4
 V_VERTS, V_JOINTS = 6890, 52  # real SMPL+H scale
 
 
-def bench_ours(quick=False, batch=B, scale=KNEE_SCALE):
+def bench_ours(quick=False, batch=B, scale=KNEE_SCALE, modality="joints3d"):
+    """Wall-clock of the full 3-stage fit. modality:
+      'joints3d' — noisy 3D joints (fit_amass_joints.cfg workload);
+      'rgb' — 2D OpenPose keypoints + floor-plane optimization +
+        cam2prior + overlap consistency (the i3DB/PROX RGB-video
+        workload BASELINE.md names as the driver metric)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
+    from humor_tpu.body_model import constants as C
     from humor_tpu.body_model.smpl import synthetic_smpl_model
     from humor_tpu.fitting import energies as E
+    from humor_tpu.fitting import geometry as geo
     from humor_tpu.fitting import optimizer as O
     from humor_tpu.models import gmm as gmm_lib
     from humor_tpu.models import humor as H
@@ -68,7 +75,7 @@ def bench_ours(quick=False, batch=B, scale=KNEE_SCALE):
                                    jnp.zeros((12, 138)),
                                    jnp.broadcast_to(jnp.eye(138),
                                                     (12, 138, 138))))
-    def make_obs(seed):
+    def make_body(seed):
         rng = np.random.RandomState(seed)
         z = jnp.asarray(rng.randn(batch, T, vcfg.latent_dim) * 0.3,
                         jnp.float32)
@@ -76,22 +83,83 @@ def bench_ours(quick=False, batch=B, scale=KNEE_SCALE):
         trans = jnp.asarray(rng.randn(batch, T, 3) * 0.1, jnp.float32)
         ro = jnp.asarray(np.tile(rng.randn(batch, 1, 3) * 0.2, (1, T, 1)),
                          jnp.float32)
+        return rng, trans, ro, pose
+
+    def make_obs(seed):
+        rng, trans, ro, pose = make_body(seed)
         gt = O.smpl_results(models.body, trans, ro, pose,
                             jnp.zeros((batch, 16)), verts="none")
         return {"joints3d": gt["joints3d"]}
 
+    n_out = body.num_joints + body.vtx_joint_ids.size
+    smpl2op = tuple(int(i % n_out) for i in range(C.OP_NUM_JOINTS))
+    cam_f = jnp.tile(jnp.asarray([1060.5, 1060.4]), (batch, 1))
+    cam_center = jnp.tile(jnp.asarray([951.3, 536.8]), (batch, 1))
+
+    def make_obs_rgb(seed):
+        """2D OpenPose keypoints projected from a body ~2.5 m in front of
+        the camera + the fit_proxd-style floor/overlap observations."""
+        rng, trans, ro, pose = make_body(seed)
+        trans = trans + jnp.asarray([0.0, 0.3, 2.5])
+        gt = O.smpl_results(models.body, trans, ro, pose,
+                            jnp.zeros((batch, 16)), verts="none")
+        full = jnp.concatenate([gt["joints3d"], gt["joints3d_extra"]],
+                               axis=2)
+        op3d = full[:, :, np.asarray(smpl2op)].reshape(batch * T, -1, 3)
+        eye3 = jnp.broadcast_to(jnp.eye(3), (batch * T, 3, 3))
+        uv = geo.perspective_projection(
+            op3d, eye3, jnp.zeros((batch * T, 3)),
+            jnp.repeat(cam_f, T, axis=0),
+            jnp.repeat(cam_center, T, axis=0)
+        ).reshape(batch, T, C.OP_NUM_JOINTS, 2)
+        uv = uv + jnp.asarray(
+            rng.randn(batch, T, C.OP_NUM_JOINTS, 2) * 2.0, jnp.float32)
+        conf = jnp.ones((batch, T, C.OP_NUM_JOINTS, 1), jnp.float32)
+        iv = np.stack([np.arange(batch) * (T - 10),
+                       np.arange(batch) * (T - 10) + T], axis=1)
+        return {
+            "joints2d": jnp.concatenate([uv, conf], axis=-1),
+            "cam_f": cam_f,
+            "cam_center": cam_center,
+            "floor_plane": jnp.tile(jnp.asarray([0.0, 1.0, 0.0, 1.5]),
+                                    (batch, 1)),
+            "seq_interval": jnp.asarray(iv, jnp.int32),
+        }
+
     iters = (4, 4, 4) if quick else tuple(n * scale for n in NUM_ITERS)
-    w1 = E.StageWeights(joints3d=1.0)
-    w2 = E.StageWeights(joints3d=1.0, pose_prior=2e-4,
-                        shape_prior=1.67e-4, joints3d_smooth=10.0)
-    w3 = E.StageWeights(joints3d=1.0, shape_prior=1.67e-4,
-                        motion_prior=1e-3, init_motion_prior=1e-3,
-                        joint_consistency=1.0, bone_length=10.0,
-                        contact_vel=1.0, contact_height=1.0)
-    cfg = O.TTOConfig(seq_len=T, stage_weights=(w1, w2, w3),
-                      num_iters=iters,
-                      stage3_freeze_start=min(30 * scale, iters[2]),
-                      stage3_freeze_end=min(55 * scale, iters[2]))
+    if modality == "rgb":
+        # the reference fit_proxd/fit_rgb weight structure
+        w1 = E.StageWeights(joints2d=0.001, joints3d_smooth=100.0,
+                            rgb_overlap_consist=200.0)
+        w2 = E.StageWeights(joints2d=0.001, pose_prior=2e-4,
+                            shape_prior=1.67e-4, joints3d_smooth=100.0,
+                            rgb_overlap_consist=200.0)
+        w3 = E.StageWeights(joints2d=0.001, pose_prior=2e-4,
+                            shape_prior=1.67e-4, motion_prior=1e-3,
+                            init_motion_prior=1e-3, joint_consistency=1.0,
+                            bone_length=10.0, contact_vel=1.0,
+                            contact_height=1.0, floor_reg=0.167,
+                            rgb_overlap_consist=200.0)
+        cfg = O.TTOConfig(seq_len=T, stage_weights=(w1, w2, w3),
+                          energy=E.EnergyConfig(smpl2op_map=smpl2op),
+                          num_iters=iters, optim_floor=True,
+                          stage3_freeze_start=min(30 * scale, iters[2]),
+                          stage3_freeze_end=min(55 * scale, iters[2]))
+        obs_fn = make_obs_rgb
+    else:
+        w1 = E.StageWeights(joints3d=1.0)
+        w2 = E.StageWeights(joints3d=1.0, pose_prior=2e-4,
+                            shape_prior=1.67e-4, joints3d_smooth=10.0)
+        w3 = E.StageWeights(joints3d=1.0, shape_prior=1.67e-4,
+                            motion_prior=1e-3, init_motion_prior=1e-3,
+                            joint_consistency=1.0, bone_length=10.0,
+                            contact_vel=1.0, contact_height=1.0)
+        cfg = O.TTOConfig(seq_len=T, stage_weights=(w1, w2, w3),
+                          num_iters=iters,
+                          stage3_freeze_start=min(30 * scale, iters[2]),
+                          stage3_freeze_end=min(55 * scale, iters[2]))
+        obs_fn = make_obs
+    make_obs = obs_fn
     runner = O.make_runner(cfg, models)
 
     res = runner(make_obs(0))  # compile
@@ -218,6 +286,13 @@ def main():
                     help="iteration-budget multiple of the reference's "
                          "outer counts (default = the measured accuracy "
                          "knee, bench_knee.py)")
+    ap.add_argument("--modality", default="joints3d",
+                    choices=("joints3d", "rgb"),
+                    help="'rgb' = 2D keypoints + floor optimization + "
+                         "overlap consistency (the i3DB/PROX workload "
+                         "BASELINE.md names; vs_baseline is NOT emitted "
+                         "there — the torch re-creation models the "
+                         "joints3d closure)")
     args = ap.parse_args()
 
     import jax
@@ -228,20 +303,24 @@ def main():
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
     ours = bench_ours(quick=args.quick, batch=args.batch,
-                      scale=args.scale)
+                      scale=args.scale, modality=args.modality)
     if args.quick:
         # extrapolate quick iters to the full budget at args.scale
         ours = ours * (args.scale * sum(NUM_ITERS)) / 12.0
-    try:
-        ref = bench_reference_style(quick=args.quick)
-        # the torch-CPU baseline is measured at B=2; normalize both sides
-        # to per-window time so vs_baseline stays apples-to-apples at any
-        # --batch
-        vs = (ref / B) / (ours / args.batch)
-    except Exception:
+    if args.modality == "rgb":
         ref, vs = float("nan"), float("nan")
+    else:
+        try:
+            ref = bench_reference_style(quick=args.quick)
+            # the torch-CPU baseline is measured at B=2; normalize both
+            # sides to per-window time so vs_baseline stays
+            # apples-to-apples at any --batch
+            vs = (ref / B) / (ours / args.batch)
+        except Exception:
+            ref, vs = float("nan"), float("nan")
+    tag = "" if args.modality == "joints3d" else f"_{args.modality}"
     out = {
-        "metric": f"tto_60frame_batch{args.batch}_wallclock",
+        "metric": f"tto_60frame_batch{args.batch}{tag}_wallclock",
         "value": round(ours, 3),
         "unit": "s",
         "vs_baseline": round(vs, 2),
