@@ -36,7 +36,10 @@ def main():
     ap.add_argument("--scale", type=int, default=4)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--variants", default="parallel,armijo,zoom")
-    ap.add_argument("--cache", default="/tmp/humor_knee_models.npz")
+    ap.add_argument(
+        "--cache",
+        default="/tmp/humor_knee_models_s4000_ss1200x30_v96x800x64.npz",
+        help="shared with bench_knee.py's auto-named default fixture")
     args = ap.parse_args()
 
     import jax

@@ -62,19 +62,26 @@ def read_fitting_seq(fitting_paths: List[str], return_valid: bool = False):
             continue
         with open(fpath, "rb") as f:
             param = pickle.load(f, encoding="latin1")
-        cur_valid = True
-        seen = set()
+        # gather the frame's components first, then append atomically:
+        # a pickle missing one SMPL key (or carrying a non-finite value)
+        # must not leave that component's list shorter than the others —
+        # np.stack would raise or rows would misalign across frames
+        # (advisor finding; the reference shares this weakness)
+        frame: Dict[str, np.ndarray] = {}
         for key, name in SMPL_NAME_MAP.items():
-            if key not in param or name in seen:
+            if key not in param or name in frame:
                 continue
-            seen.add(name)
-            arr = np.asarray(param[key], np.float32).reshape(-1)
-            cur_valid = cur_valid and bool(np.isfinite(arr).all())
-            fit[name].append(arr if cur_valid
-                             else np.zeros((SMPL_SIZES[name],), np.float32))
+            frame[name] = np.asarray(param[key], np.float32).reshape(-1)
+        cur_valid = (
+            set(frame) == set(SMPL_SIZES)
+            and all(v.shape == (SMPL_SIZES[k],) and np.isfinite(v).all()
+                    for k, v in frame.items()))
         if not cur_valid:
-            print(f"PROX results nan for {fpath}, filling with dummy "
-                  "zeros!")
+            print(f"PROX results missing/nan for {fpath}, filling with "
+                  "dummy zeros!")
+        for name, size in SMPL_SIZES.items():
+            fit[name].append(frame[name] if cur_valid
+                             else np.zeros((size,), np.float32))
         valid.append(cur_valid)
     out = {k: np.stack(v).astype(np.float32) if v
            else np.zeros((0, SMPL_SIZES[k]), np.float32)

@@ -107,6 +107,7 @@ def main(argv=None) -> Dict:
                         for n in cfg.num_iters),
         lbfgs_max_linesearch=cfg.lbfgs_max_iter,
         lbfgs_linesearch=cfg.lbfgs_linesearch,
+        lbfgs_polish_frac=cfg.lbfgs_polish_frac,
         lbfgs_candidates=cfg.lbfgs_candidates or None,
         lbfgs_tol_grad=cfg.lbfgs_tol_grad or None,
         lbfgs_tol_change=cfg.lbfgs_tol_change or None,
@@ -127,7 +128,8 @@ def main(argv=None) -> Dict:
 
     all_metrics = []
     for bidx, (observed, gt, meta) in enumerate(
-            amass_fit_batches(dataset, obs_cfg, cfg.batch_size, cfg.seed)):
+            amass_fit_batches(dataset, obs_cfg, cfg.batch_size, cfg.seed,
+                              body=models.body)):
         t0 = time.time()
         obs_jax = {k: jnp.asarray(v) for k, v in observed.items()}
         try:
@@ -280,6 +282,7 @@ def _run_rgb(cfg, models):
                         for n in cfg.num_iters),
         lbfgs_max_linesearch=cfg.lbfgs_max_iter,
         lbfgs_linesearch=cfg.lbfgs_linesearch,
+        lbfgs_polish_frac=cfg.lbfgs_polish_frac,
         lbfgs_candidates=cfg.lbfgs_candidates or None,
         lbfgs_tol_grad=cfg.lbfgs_tol_grad or None,
         lbfgs_tol_change=cfg.lbfgs_tol_change or None,

@@ -204,12 +204,13 @@ def _while_until_converged(step, init_carry, num_iters, tol_grad,
                           jnp.asarray(stall_patience, stall.dtype), stall)
         return i + 1, new_carry, losses, stall
 
-    _, carry, losses, _ = jax.lax.while_loop(
+    n_done, carry, losses, _ = jax.lax.while_loop(
         cond, body, (jnp.asarray(0, jnp.int32), init_carry, losses0,
                      jnp.asarray(0, jnp.int32)))
-    # fill the unreached tail with the final value so downstream loss
-    # logs stay finite
-    losses = jnp.where(jnp.isnan(losses), carry[4], losses)
+    # fill only the UNREACHED tail (i >= trip count) with the final value
+    # so downstream loss logs stay finite; genuinely NaN iteration losses
+    # from a diverged step must survive into the history (advisor finding)
+    losses = jnp.where(jnp.arange(num_iters) >= n_done, carry[4], losses)
     return carry, losses
 
 

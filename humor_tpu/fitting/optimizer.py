@@ -72,8 +72,15 @@ class TTOConfig:
     # vectorized strong-Wolfe, one vmapped closure eval per iteration),
     # "armijo" (value-only speculative grid + one value_and_grad at the
     # accepted point), "zoom" (optax sequential zoom — the reference's
-    # torch strong_wolfe semantics, 2-8+ evals/iter).
+    # torch strong_wolfe semantics, 2-8+ evals/iter), "hybrid" (parallel
+    # bulk + a zoom polish tail of lbfgs_polish_frac of each stage's
+    # iterations — the careful sequential search escapes the flats the
+    # speculative grid wanders on hard seeds; RESULTS.md round 4).
     lbfgs_linesearch: Any = "auto"
+    # fraction of each stage's iterations run as the hybrid's sequential
+    # zoom polish tail. Zoom costs ~6-8x per iteration (RESULTS.md), so
+    # 0.08 keeps the hybrid within ~1.5x of the parallel wall-clock.
+    lbfgs_polish_frac: float = 0.08
     # parallel/armijo search grid size; None = auto by batch:
     # K = clamp(128 // B, 4, 16). Rationale (RESULTS.md round 3): the
     # candidate-grid rollout runs at M = K*B MXU rows and every weight
@@ -148,8 +155,12 @@ def resolve_candidates(num: Optional[int], batch: int) -> int:
     M <= 128 (RESULTS.md "weight-stationary MXU bound"), so candidates
     are free until K*B ~ 128 — small batches get a finer grid at no
     cost, large batches shed candidates instead of paying extra passes.
+
+    Any falsy value (None or 0) means auto — the config layer documents
+    "0 = auto-scale" and the CLI passes 0 through, so 0 must not reach
+    run_lbfgs as a literal grid size (advisor finding, round 3).
     """
-    if num is not None:
+    if num:
         return num
     return max(4, min(16, 128 // max(int(batch), 1)))
 
@@ -521,6 +532,11 @@ def make_runner(cfg: TTOConfig, models: TTOModels, mesh=None,
 
     def _lbfgs(loss_fn, vars_, iters, observed, mask=None, stage=0):
         B = batch_size_of(observed)
+        # the K*B <= 128 MXU-row rationale is PER DEVICE: under a dp mesh
+        # each chip sees B // mesh.size windows, so both the auto
+        # line-search crossover and the auto candidate count key off the
+        # per-device batch (advisor finding, round 3)
+        B_dev = max(1, B // mesh.size) if mesh is not None else B
         linesearch = cfg.lbfgs_linesearch
         if isinstance(linesearch, (tuple, list)):
             linesearch = linesearch[stage]  # per-stage override
@@ -531,16 +547,36 @@ def make_runner(cfg: TTOConfig, models: TTOModels, mesh=None,
             # was 4.5% faster still but REGRESSED knee-seed stage-3
             # accuracy ~2x (weaker stage-2 minima feed the stage-3 init)
             # — measured and rejected; see the same RESULTS section.
-            linesearch = "parallel" if B < 12 else "armijo"
-        return run_lbfgs(loss_fn, vars_, iters, observed, mask=mask,
-                         history_size=cfg.lbfgs_history,
-                         max_linesearch_steps=cfg.lbfgs_max_linesearch,
-                         linesearch=linesearch,
-                         num_candidates=resolve_candidates(
-                             cfg.lbfgs_candidates, B),
-                         tol_grad=cfg.lbfgs_tol_grad,
-                         tol_change=cfg.lbfgs_tol_change,
-                         stall_patience=cfg.lbfgs_stall_patience)
+            linesearch = "parallel" if B_dev < 12 else "armijo"
+
+        def _run(ls, v, n):
+            return run_lbfgs(loss_fn, v, n, observed, mask=mask,
+                             history_size=cfg.lbfgs_history,
+                             max_linesearch_steps=cfg.lbfgs_max_linesearch,
+                             linesearch=ls,
+                             num_candidates=resolve_candidates(
+                                 cfg.lbfgs_candidates, B_dev),
+                             tol_grad=cfg.lbfgs_tol_grad,
+                             tol_change=cfg.lbfgs_tol_change,
+                             stall_patience=cfg.lbfgs_stall_patience)
+
+        if linesearch == "hybrid":
+            # speculative-parallel bulk, then a short sequential zoom
+            # polish from the bulk's best iterate: zoom's careful
+            # bracketing escapes the flat regions the discrete candidate
+            # grid wanders on hard seeds (RESULTS.md "convergence early
+            # exit" measured zoom reaching 0.39 where parallel sat at
+            # 0.56) at ~6-8x the per-iteration cost — a tail of
+            # lbfgs_polish_frac keeps the total within ~1.5x.
+            polish = (max(2, int(round(iters * cfg.lbfgs_polish_frac)))
+                      if iters > 4 else 0)
+            res = _run("parallel", vars_, iters - polish)
+            if polish == 0:
+                return res
+            res2 = _run("zoom", res.params, polish)
+            return res2._replace(loss_history=jnp.concatenate(
+                [res.loss_history, res2.loss_history]))
+        return _run(linesearch, vars_, iters)
 
     # ---- stage 1/2 losses
     def stage1_loss(v, observed):

@@ -67,7 +67,12 @@ def seq_overlaps_of(seq_intervals: np.ndarray) -> np.ndarray:
     iv = np.asarray(seq_intervals)
     out = [0]
     for i in range(len(iv) - 1):
-        out.append(int(iv[i, 1] - iv[i + 1, 0]))
+        # a gap between consecutive windows (prev_end < cur_start) is not
+        # an overlap — clamping at 0 keeps every frame of the new window
+        # instead of silently duplicating its tail via a negative slice
+        # (advisor finding); the splitter never produces gaps, but
+        # hand-built intervals can
+        out.append(max(0, int(iv[i, 1] - iv[i + 1, 0])))
     return np.asarray(out, np.int64)
 
 

@@ -226,9 +226,13 @@ class FitCLIConfig:
     # "auto" (parallel at small window batches, armijo at B >= 12 —
     # measured crossover, RESULTS.md "line-search choice by batch"),
     # "parallel" (speculative vectorized strong-Wolfe, one vmapped eval
-    # per iteration), "armijo" (value-only speculative grid), or "zoom"
-    # (sequential, reference torch semantics)
+    # per iteration), "armijo" (value-only speculative grid), "zoom"
+    # (sequential, reference torch semantics), or "hybrid" (parallel
+    # bulk + a zoom polish tail per stage)
     lbfgs_linesearch: str = "auto"
+    # hybrid only: fraction of each stage's iterations run as the zoom
+    # polish tail (zoom is ~6-8x/iter; 0.08 keeps ~1.5x total)
+    lbfgs_polish_frac: float = 0.08
     # parallel/armijo grid size; 0 = auto-scale by window batch
     # (K = clamp(128 // B, 4, 16) — see fitting/optimizer.resolve_candidates)
     lbfgs_candidates: int = 8

@@ -213,3 +213,34 @@ def test_per_stage_linesearch_tuple(tto_cfg, models, observed):
     res = O.run(cfg, models, observed)
     for k in ("trans", "root_orient"):
         assert np.all(np.isfinite(np.asarray(res.final[k])))
+
+
+def test_resolve_candidates_falsy_means_auto():
+    """0 means auto exactly like None — the config layer documents
+    '0 = auto-scale' and benchmarks pass 0 through (advisor finding:
+    a literal 0 reaching run_lbfgs silently produced a 3-point grid)."""
+    assert O.resolve_candidates(0, 2) == 16
+    assert O.resolve_candidates(0, 32) == 4
+
+
+def test_hybrid_linesearch_runs(tto_cfg, models, observed):
+    """'hybrid' = parallel bulk + zoom polish tail per stage; the loss
+    history must cover the full budget and end equal-or-better than the
+    pure parallel search's (the polish can only improve the best
+    iterate — both searches share best-iterate return)."""
+    import dataclasses
+    cfg = dataclasses.replace(tto_cfg, lbfgs_linesearch="hybrid",
+                              lbfgs_polish_frac=0.25)
+    res = O.run(cfg, models, observed)
+    cfg_p = dataclasses.replace(tto_cfg, lbfgs_linesearch="parallel")
+    res_p = O.run(cfg_p, models, observed)
+    for st in ("stage1", "stage2", "stage3"):
+        h = np.asarray(res.losses[st])
+        assert h.shape == np.asarray(res_p.losses[st]).shape, st
+        assert np.all(np.isfinite(h)), st
+    # same energy, same budget: the hybrid's stage-2 end point must be
+    # in family (tolerate fp/trajectory noise; regressions are gross)
+    assert (np.asarray(res.losses["stage2"])[-1]
+            <= np.asarray(res_p.losses["stage2"])[0])
+    for k in ("trans", "root_orient"):
+        assert np.all(np.isfinite(np.asarray(res.final[k])))
