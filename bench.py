@@ -2,17 +2,22 @@
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Headline benchmark: full 3-stage test-time-optimization wall-clock per
-60-frame batch-2 sub-sequence — the driver-defined baseline metric
-(BASELINE.md). Runs benchmarks/bench_tto.py's workload at the measured
+60-frame batch-2 sub-sequence on the RGB-video workload — 2D OpenPose
+keypoints + floor-plane optimization + cam2prior rollout + overlap
+consistency, i.e. the i3DB/PROX configuration BASELINE.md names as the
+driver metric. Runs benchmarks/bench_tto.py's workload at the measured
 accuracy-knee budget (KNEE_SCALE x the reference's 30/70/70 outer
 counts — the budget where synthetic-GT recovery saturates,
 benchmarks/bench_knee.py + RESULTS.md "accuracy-vs-effort knee"), so the
 number means "wall-clock at accuracy parity", not wall-clock at a
 fraction of the reference's effort. vs_baseline is the measured speedup
-over a faithful torch-CPU re-creation of the reference's closure
+over a faithful torch-CPU re-creation of the reference's RGB closure
 structure at the reference's own default budget (per-iteration
-VPoser+SMPL evals for stages 1/2, T-step Python rollout + SMPL +
-backward for stage 3), extrapolated from real torch LBFGS iterations.
+VPoser+SMPL+projection+overlap evals for stages 1/2; cam2prior + T-step
+Python rollout + VPoser re-encode + dual SMPL passes for stage 3),
+extrapolated from real torch LBFGS iterations. The joints3d-modality
+number (the fit_amass_joints workload, tracked since round 1) rides
+along as aux fields.
 
 Falls back to the rollout micro-benchmark if the TTO workload fails.
 """
@@ -118,19 +123,28 @@ def main():
                                           bench_ours,
                                           bench_reference_style)
 
-        ours = bench_ours(quick=False)  # knee budget (KNEE_SCALE)
+        ours_rgb = bench_ours(quick=False, modality="rgb")  # knee budget
         try:
-            ref = bench_reference_style(quick=True)
-            vs = ref / ours
+            ref_rgb = bench_reference_style(quick=True, modality="rgb")
+            vs_rgb = ref_rgb / ours_rgb
         except Exception:
-            vs = float("nan")
-        print(json.dumps({
-            "metric": "tto_60frame_batch2_wallclock_at_knee",
-            "value": round(ours, 3),
+            vs_rgb = float("nan")
+        out = {
+            "metric": "tto_rgb_60frame_batch2_wallclock_at_knee",
+            "value": round(ours_rgb, 3),
             "unit": "s",
-            "vs_baseline": round(vs, 2),
+            "vs_baseline": round(vs_rgb, 2),
             "num_iters": [n * KNEE_SCALE for n in NUM_ITERS],
-        }))
+        }
+        # the joints3d workload (round 1-3 headline) as aux fields
+        try:
+            ours_j = bench_ours(quick=False, modality="joints3d")
+            ref_j = bench_reference_style(quick=True)
+            out["joints3d_s"] = round(ours_j, 3)
+            out["joints3d_vs_baseline"] = round(ref_j / ours_j, 2)
+        except Exception:
+            pass
+        print(json.dumps(out))
         return
     except Exception as e:
         print(f"[bench] TTO benchmark failed ({e}); "

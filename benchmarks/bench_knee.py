@@ -90,10 +90,24 @@ def main():
     ap.add_argument("--sup-steps", type=int, default=4000)
     ap.add_argument("--ss-steps", type=int, default=1200)
     ap.add_argument("--ss-len", type=int, default=30)
-    ap.add_argument("--cache", default="/tmp/humor_knee_models.npz",
+    # fixture-VPoser capacity: the pose round-trip floor caps measurable
+    # stage-2/3 MPJPE (the 96/800 default measured 0.1675 rad MAE);
+    # sweep these to check the knee is set by optimizer effort, not the
+    # fixture (VERDICT r3 weak #5)
+    ap.add_argument("--vp-hidden", type=int, default=96)
+    ap.add_argument("--vp-steps", type=int, default=800)
+    ap.add_argument("--vp-seqs", type=int, default=64)
+    ap.add_argument("--cache", default="",
                     help="npz cache for the trained fixture models "
-                         "('' = retrain)")
+                         "('' = auto path keyed by the fixture params, "
+                         "'none' = retrain)")
     args = ap.parse_args()
+    if args.cache == "":
+        args.cache = (f"/tmp/humor_knee_models_s{args.sup_steps}_"
+                      f"ss{args.ss_steps}x{args.ss_len}_v{args.vp_hidden}"
+                      f"x{args.vp_steps}x{args.vp_seqs}.npz")
+    elif args.cache == "none":
+        args.cache = ""
 
     import jax
 
@@ -112,6 +126,9 @@ def main():
     models = trained_tto_models(sup_steps=args.sup_steps,
                                 ss_steps=args.ss_steps,
                                 ss_len=args.ss_len,
+                                vp_hidden=args.vp_hidden,
+                                vp_steps=args.vp_steps,
+                                vp_seqs=args.vp_seqs,
                                 cache=args.cache or None)
     print(f"[knee] models trained in {time.time()-t0:.0f}s",
           file=sys.stderr)

@@ -35,6 +35,12 @@ def main():
                          "amortizing the ~32-44 ms fixed dispatch cost; "
                          "reported wall-clock and transitions/s are "
                          "per single step")
+    ap.add_argument("--time-gather", action="store_true",
+                    help="instead of the device step, time the HOST data "
+                         "pipeline per batch (native C++ window gather + "
+                         "the jitted window_to_pairs canonicalization) — "
+                         "proves the loader keeps up with the device "
+                         "step rate")
     args = ap.parse_args()
 
     from humor_tpu.utils.platform import setup_platform
@@ -55,6 +61,9 @@ def main():
     from humor_tpu.train import step as TS
 
     model = synthetic_smpl_model(num_verts=6890, num_joints=22)
+
+    if args.time_gather:
+        return time_gather(args, model)
     cfg = H.HumorConfig(compute_dtype=args.dtype or None)
     opt = TS.make_optimizer(lr=1e-4, steps_per_epoch=200)
     state = TS.init_train_state(cfg, opt, jax.random.PRNGKey(0))
@@ -118,6 +127,69 @@ def main():
         "unit": "ms",
         "dtype": args.dtype or "float32",
         "transitions_per_s": round(args.batch * T / dt),
+    }))
+
+
+def time_gather(args, model):
+    """Host-pipeline cost per training batch: the native threaded window
+    gather over a realistic flat store + the jitted window_to_pairs
+    canonicalization (the two host-side stages feeding every step)."""
+    import jax
+    import numpy as np
+
+    from humor_tpu.data.dataset import AmassDataset
+    from humor_tpu.data.synthetic import synthetic_world_batch
+    from humor_tpu.data.windows import window_to_pairs
+    from humor_tpu.ops import transforms
+    import jax.numpy as jnp
+
+    # a realistically-sized store: ~100 sequences x 600 frames
+    seqs = []
+    rng = np.random.RandomState(0)
+    for i in range(100):
+        world, meta = synthetic_world_batch(i, 1, 600, model=model)
+        aa = transforms.rotmat_to_aa
+        seqs.append({
+            "fps": np.asarray(30.0),
+            "gender": ["male", "female"][i % 2],
+            "trans": np.asarray(world["trans"][0]),
+            "root_orient": np.asarray(aa(jnp.asarray(
+                np.asarray(world["root_orient"][0]).reshape(-1, 3, 3)))),
+            "pose_body": np.asarray(aa(jnp.asarray(
+                np.asarray(world["pose_body"][0]).reshape(-1, 21, 3, 3))
+            )).reshape(-1, 63),
+            "betas": np.asarray(meta["betas"][0]),
+            "joints": np.asarray(world["joints"][0]).reshape(-1, 66),
+            "trans_vel": np.asarray(world["trans_vel"][0]),
+            "joints_vel": np.asarray(world["joints_vel"][0]).reshape(-1, 66),
+            "root_orient_vel": np.asarray(world["root_orient_vel"][0]),
+            "contacts": np.asarray(world["contacts"][0]),
+        })
+    ds = AmassDataset.from_processed(seqs)
+    to_pairs = jax.jit(window_to_pairs)
+
+    def one_batch(seed):
+        world, meta = ds.sample_windows(seed, args.batch, T + 1)
+        out = to_pairs({k: jnp.asarray(v) for k, v in world.items()})
+        jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+        return world
+
+    one_batch(0)  # warm the jit
+    t_gather, t_total = [], []
+    for i in range(20):
+        t0 = time.perf_counter()
+        ds.sample_windows(100 + i, args.batch, T + 1)
+        t_gather.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        one_batch(200 + i)
+        t_total.append(time.perf_counter() - t0)
+    t_gather.sort(), t_total.sort()
+    print(json.dumps({
+        "metric": f"host_pipeline_b{args.batch}x{T}",
+        "gather_ms": round(t_gather[len(t_gather) // 2] * 1000.0, 2),
+        "gather_plus_pairs_ms": round(t_total[len(t_total) // 2]
+                                      * 1000.0, 2),
+        "unit": "ms",
     }))
 
 

@@ -176,14 +176,30 @@ def bench_ours(quick=False, batch=B, scale=KNEE_SCALE, modality="joints3d"):
     return min(times)
 
 
-def bench_reference_style(quick=False):
+def bench_reference_style(quick=False, modality="joints3d"):
     """torch-CPU reference-structure TTO cost, extrapolated from measured
-    per-iteration L-BFGS times."""
+    per-iteration L-BFGS times.
+
+    modality='joints3d' models the fit_amass_joints closures (VPoser
+    decode + SMPL per stage-1/2 eval; T-step Python rollout + SMPL for
+    stage 3 — reference motion_optimizer.py:202-610).
+
+    modality='rgb' models the i3DB/PROX closures the driver metric names
+    (reference motion_optimizer.py:514-608 + fitting_loss.py:136-179,
+    317-358): stages 1/2 add perspective projection + GMoF robust
+    weighting + the within-batch overlap-consistency terms (verts
+    position+velocity over overlapping frames, betas agreement); stage 3
+    additionally recomputes cam2prior each closure (an extra SMPL pass
+    over the full sequence), applies the prior<->camera transform inside
+    the rollout, re-encodes the rolled-out pose through VPoser
+    (pose2latent over B*T), and runs a SECOND full SMPL pass for the
+    camera-frame losses."""
     import numpy as np
     import torch
 
     torch.manual_seed(0)
     D_in, L, LP = 339, 48, 32
+    rgb = modality == "rgb"
 
     def mlp(sizes):
         layers = [torch.nn.Linear(sizes[0], sizes[1])]
@@ -198,7 +214,13 @@ def bench_reference_style(quick=False):
         torch.nn.Linear(LP, 512), torch.nn.LeakyReLU(0.2),
         torch.nn.Linear(512, 512), torch.nn.LeakyReLU(0.2),
         torch.nn.Linear(512, 21 * 6))
-    for m in (prior_net, decoder, vposer_dec):
+    # VPoser encoder (pose2latent) — the RGB stage-3 closure re-encodes
+    # the rolled-out pose sequence every evaluation (reference :558)
+    vposer_enc = torch.nn.Sequential(
+        torch.nn.Linear(21 * 6, 512), torch.nn.LeakyReLU(0.2),
+        torch.nn.Linear(512, 512), torch.nn.LeakyReLU(0.2),
+        torch.nn.Linear(512, LP * 2))
+    for m in (prior_net, decoder, vposer_dec, vposer_enc):
         for p in m.parameters():
             p.requires_grad_(False)
 
@@ -217,6 +239,35 @@ def bench_reference_style(quick=False):
         return v, joints
 
     obs_joints = torch.randn(B, T, J, 3)
+    NOP = 25
+    obs_2d = torch.rand(B, T, NOP, 2) * 500.0
+    conf_2d = torch.rand(B, T, NOP)
+    cam_f = torch.tensor([1060.5, 1060.4])
+    cam_c = torch.tensor([951.3, 536.8])
+    n_overlap = 10
+
+    def project(j3d):
+        """perspective projection + confidence-weighted GMoF residual
+        (reference fitting_loss.py:317-358)."""
+        pts = j3d[:, :, :NOP] if j3d.shape[2] >= NOP else \
+            j3d.repeat(1, 1, -(-NOP // j3d.shape[2]), 1)[:, :, :NOP]
+        z = torch.clamp(pts[..., 2:3], min=1e-3)
+        uv = pts[..., :2] / z * cam_f + cam_c
+        res = torch.sum((uv - obs_2d) ** 2, dim=-1)
+        gmof = (res / (res + 100.0 ** 2)) * 100.0 ** 2
+        return torch.sum(conf_2d ** 2 * gmof)
+
+    def overlap_terms(verts, betas_):
+        """within-batch overlap consistency: verts position+velocity
+        agreement over the n_overlap shared frames + betas agreement
+        (reference fitting_loss.py:136-179)."""
+        vA = verts.reshape(B, T, Vv, 3)[:-1, -n_overlap:]
+        vB = verts.reshape(B, T, Vv, 3)[1:, :n_overlap]
+        pos = torch.sum((vA - vB) ** 2)
+        vel = torch.sum(((vA[:, 1:] - vA[:, :-1])
+                         - (vB[:, 1:] - vB[:, :-1])) ** 2)
+        bet = torch.sum((betas_[:-1] - betas_[1:]) ** 2)
+        return pos + vel + bet
 
     def run_lbfgs_iters(params, closure, n_iters):
         opt = torch.optim.LBFGS(params, max_iter=20, lr=1.0,
@@ -230,15 +281,21 @@ def bench_reference_style(quick=False):
     trans = torch.zeros(B, T, 3, requires_grad=True)
     latent_pose = torch.zeros(B, T, LP, requires_grad=True)
     betas = torch.zeros(B, 16, requires_grad=True)
+    floor_plane = torch.zeros(B, 3, requires_grad=True)
 
     def closure12():
         pose6 = vposer_dec(latent_pose.reshape(-1, LP))
         pose_aa = pose6.reshape(B * T, -1)[:, :63]
         bt = betas.unsqueeze(1).expand(B, T, 16).reshape(-1, 16)
-        _, joints = smpl_fwd(bt, torch.cat(
+        verts, joints = smpl_fwd(bt, torch.cat(
             [pose_aa, pose_aa, pose_aa], dim=1)[:, :J * 9],
             trans.reshape(-1, 3))
-        loss = torch.sum((joints.reshape(B, T, J, 3) - obs_joints) ** 2)
+        if rgb:
+            loss = project(joints.reshape(B, T, J, 3))
+            loss = loss + overlap_terms(verts, betas)
+        else:
+            loss = torch.sum(
+                (joints.reshape(B, T, J, 3) - obs_joints) ** 2)
         loss.backward()
         return loss
 
@@ -250,6 +307,20 @@ def bench_reference_style(quick=False):
     latent_motion = torch.zeros(B, T - 1, L, requires_grad=True)
 
     def closure3():
+        if rgb:
+            # cam2prior recomputation: an SMPL pass over the full current
+            # sequence + the frame-0 alignment solve (reference :518-524)
+            pose6 = vposer_dec(latent_pose.detach().reshape(-1, LP))
+            pose_aa0 = pose6.reshape(B * T, -1)[:, :63]
+            bt0 = betas.unsqueeze(1).expand(B, T, 16).reshape(-1, 16)
+            _, j0 = smpl_fwd(bt0, torch.cat(
+                [pose_aa0, pose_aa0, pose_aa0], dim=1)[:, :J * 9],
+                trans.detach().reshape(-1, 3))
+            n = floor_plane / torch.clamp(
+                torch.norm(floor_plane, dim=-1, keepdim=True), min=1e-6)
+            R_c2p = torch.eye(3).unsqueeze(0).expand(B, 3, 3) \
+                + 0.0 * n.unsqueeze(-1)
+            t_c2p = j0.reshape(B, T, J, 3)[:, 0, 0]
         x = torch.randn(B, D_in) * 0.01 + 0.0 * latent_motion.sum()
         poses = []
         for t in range(T - 1):
@@ -258,19 +329,46 @@ def bench_reference_style(quick=False):
             # delta compose + canonicalization stand-in
             Rm = out[:, :9].reshape(B, 3, 3)
             _ = torch.matmul(Rm, Rm.transpose(1, 2))
+            if rgb:
+                # prior->camera transform of the step's root state
+                # (reference rollout_latent_motion applies cam2prior
+                # fwd/inv around every rollout, :542 + apply_cam2prior)
+                _ = torch.matmul(R_c2p, Rm) + t_c2p.unsqueeze(-1)
             x = torch.cat([out, x[:, 216:]], dim=1)
             poses.append(out[:, 9: 9 + 63])
         pose_aa = torch.stack(poses, dim=1).reshape(-1, 63)
         bt = betas.detach().unsqueeze(1).expand(B, T - 1, 16).reshape(-1, 16)
-        _, joints = smpl_fwd(bt, torch.cat(
+        verts, joints = smpl_fwd(bt, torch.cat(
             [pose_aa, pose_aa, pose_aa], dim=1)[:, :J * 9],
             torch.zeros(B * (T - 1), 3))
-        loss = torch.sum(joints ** 2) * 1e-6
+        if rgb:
+            # re-encode rolled-out pose to the VPoser latent (:558)
+            pose6r = torch.cat([pose_aa, pose_aa[:, :63]],
+                               dim=1)[:, :21 * 6]
+            _ = vposer_enc(pose6r)
+            # SECOND full SMPL pass: camera-frame predictions (:585)
+            cam_verts, cam_joints = smpl_fwd(
+                bt, torch.cat([pose_aa, pose_aa, pose_aa],
+                              dim=1)[:, :J * 9],
+                torch.zeros(B * (T - 1), 3) + t_c2p.repeat_interleave(
+                    T - 1, dim=0))
+            cj = torch.cat([cam_joints.reshape(B, T - 1, J, 3),
+                            cam_joints.reshape(B, T - 1, J, 3)[:, -1:]],
+                           dim=1)
+            loss = project(cj)
+            loss = loss + overlap_terms(
+                torch.cat([cam_verts.reshape(B, T - 1, Vv, 3),
+                           cam_verts.reshape(B, T - 1, Vv, 3)[:, -1:]],
+                          dim=1).reshape(B * T, Vv, 3), betas)
+            loss = loss + torch.sum(floor_plane ** 2)
+        else:
+            loss = torch.sum(joints ** 2) * 1e-6
         loss = loss + torch.sum(latent_motion ** 2)
         loss.backward()
         return loss
 
-    t3 = run_lbfgs_iters([latent_motion], lambda: (closure3()), n_meas)
+    s3_params = [latent_motion, floor_plane] if rgb else [latent_motion]
+    t3 = run_lbfgs_iters(s3_params, lambda: (closure3()), n_meas)
 
     total = (NUM_ITERS[0] + NUM_ITERS[1]) * t12 + NUM_ITERS[2] * t3
     return total
@@ -290,9 +388,9 @@ def main():
                     choices=("joints3d", "rgb"),
                     help="'rgb' = 2D keypoints + floor optimization + "
                          "overlap consistency (the i3DB/PROX workload "
-                         "BASELINE.md names; vs_baseline is NOT emitted "
-                         "there — the torch re-creation models the "
-                         "joints3d closure)")
+                         "BASELINE.md names); each modality's "
+                         "vs_baseline uses its own torch-CPU closure "
+                         "re-creation")
     args = ap.parse_args()
 
     import jax
@@ -307,17 +405,15 @@ def main():
     if args.quick:
         # extrapolate quick iters to the full budget at args.scale
         ours = ours * (args.scale * sum(NUM_ITERS)) / 12.0
-    if args.modality == "rgb":
+    try:
+        ref = bench_reference_style(quick=args.quick,
+                                    modality=args.modality)
+        # the torch-CPU baseline is measured at B=2; normalize both
+        # sides to per-window time so vs_baseline stays
+        # apples-to-apples at any --batch
+        vs = (ref / B) / (ours / args.batch)
+    except Exception:
         ref, vs = float("nan"), float("nan")
-    else:
-        try:
-            ref = bench_reference_style(quick=args.quick)
-            # the torch-CPU baseline is measured at B=2; normalize both
-            # sides to per-window time so vs_baseline stays
-            # apples-to-apples at any --batch
-            vs = (ref / B) / (ours / args.batch)
-        except Exception:
-            ref, vs = float("nan"), float("nan")
     tag = "" if args.modality == "joints3d" else f"_{args.modality}"
     out = {
         "metric": f"tto_60frame_batch{args.batch}{tag}_wallclock",

@@ -156,6 +156,37 @@ def apply_cam2prior(
     return {"trans": out_trans, "root_orient": out_orient}
 
 
+def rigid_transform_smpl_params(
+    trans: jnp.ndarray,            # (B, T, 3)
+    root_orient_aa: jnp.ndarray,   # (B, T, 3)
+    rest_root_joint: jnp.ndarray,  # (B, 3) shaped rest-pose root joint
+    R: jnp.ndarray,                # (3, 3) or (B, 3, 3)
+    t: jnp.ndarray,                # (3,) or (B, 3)
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """SMPL parameters that move the posed body rigidly: verts' = R v + t.
+
+    SMPL composes the global orientation about the SHAPED rest root joint
+    j0 (a function of betas only) and applies `trans` afterwards, so the
+    transformed parameters are root' = R R_root and
+    trans' = R (trans + j0) + t - j0. Used to express a world-frame GT
+    sequence in a camera frame (e.g. the RGB fitting fixtures) without
+    touching the body model.
+    """
+    R = jnp.asarray(R)
+    t = jnp.asarray(t)
+    if R.ndim == 2:
+        R = R[None]
+    if t.ndim == 1:
+        t = t[None]
+    R_root = transforms.aa_to_rotmat(root_orient_aa)     # (B, T, 3, 3)
+    new_root = transforms.rotmat_to_aa(
+        jnp.einsum("bij,btjk->btik", R, R_root, precision=_HI))
+    j0 = rest_root_joint[:, None]                        # (B, 1, 3)
+    new_trans = jnp.einsum("bij,btj->bti", R, trans + j0,
+                           precision=_HI) + t[:, None] - j0
+    return new_trans, new_root
+
+
 def perspective_projection(points: jnp.ndarray,       # (B, N, 3)
                            rotation: jnp.ndarray,     # (B, 3, 3)
                            translation: jnp.ndarray,  # (B, 3)

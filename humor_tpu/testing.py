@@ -65,10 +65,16 @@ def train_mini_humor(model, cfg, sup_steps: int = 300,
     return state.params
 
 
-def train_mini_vposer(model, hidden: int = 96, steps: int = 800
-                      ) -> Tuple:
+def train_mini_vposer(model, hidden: int = 96, steps: int = 800,
+                      n_seqs: int = 64) -> Tuple:
     """Mini VPoser autoencoding the synthetic pose distribution (~10 s).
-    Returns (vposer_cfg, vposer_params)."""
+    Returns (vposer_cfg, vposer_params).
+
+    hidden/steps/n_seqs size the fixture's pose-reconstruction floor: the
+    TTO routes ALL body pose through latent2pose, so the VPoser
+    round-trip MAE lower-bounds every stage-2/3 MPJPE (the default
+    96/800 fixture measured 0.1675 rad on GT poses — bench_knee.py
+    prints the number so accuracy results stay attributable)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -79,7 +85,7 @@ def train_mini_vposer(model, hidden: int = 96, steps: int = 800
 
     vcfg = vp.VPoserConfig(hidden=hidden)
     vparams = vp.init_params(vcfg, jax.random.PRNGKey(3))
-    world, _ = synthetic_world_batch(100, 64, 20, model=model)
+    world, _ = synthetic_world_batch(100, n_seqs, 20, model=model)
     poses = np.asarray(transforms.rotmat_to_aa(jnp.asarray(
         np.asarray(world["pose_body"]).reshape(-1, 21, 3, 3)))
     ).reshape(-1, 63)
@@ -107,13 +113,18 @@ def train_mini_vposer(model, hidden: int = 96, steps: int = 800
 
 
 def trained_tto_models(sup_steps: int = 300, ss_steps: int = 150,
-                       ss_len: int = 10, cache: str = None):
+                       ss_len: int = 10, cache: str = None,
+                       vp_hidden: int = 96, vp_steps: int = 800,
+                       vp_seqs: int = 64):
     """TTOModels bundle with the briefly-trained mini HuMoR + VPoser over
     the procedural synthetic body.
 
     cache: optional .npz path — load the trained params from it when it
     exists, train-and-save otherwise (benches re-enter this fixture many
-    times; training costs minutes per entry)."""
+    times; training costs minutes per entry).
+
+    vp_*: fixture-VPoser capacity (see train_mini_vposer — the pose
+    round-trip floor caps measurable TTO accuracy)."""
     import jax
 
     from humor_tpu.body_model.smpl import synthetic_smpl_model
@@ -124,7 +135,7 @@ def trained_tto_models(sup_steps: int = 300, ss_steps: int = 150,
 
     model = synthetic_smpl_model()
     cfg = H.HumorConfig()
-    vcfg = vp.VPoserConfig(hidden=96)
+    vcfg = vp.VPoserConfig(hidden=vp_hidden)
     import os
     if cache and os.path.exists(cache):
         tmpl = {"humor": H.init_params(cfg, jax.random.PRNGKey(0)),
@@ -135,7 +146,8 @@ def trained_tto_models(sup_steps: int = 300, ss_steps: int = 150,
                          humor=both["humor"], init_gmm=None)
     humor_params = train_mini_humor(model, cfg, sup_steps=sup_steps,
                                     ss_steps=ss_steps, ss_len=ss_len)
-    vcfg2, vparams = train_mini_vposer(model)
+    vcfg2, vparams = train_mini_vposer(model, hidden=vp_hidden,
+                                       steps=vp_steps, n_seqs=vp_seqs)
     assert vcfg2 == vcfg
     if cache:
         ckpt.save_state(cache, {"humor": humor_params, "vposer": vparams})
