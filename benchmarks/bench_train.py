@@ -137,34 +137,30 @@ def time_gather(args, model):
     import jax
     import numpy as np
 
+    from humor_tpu.data import amass as A
     from humor_tpu.data.dataset import AmassDataset
-    from humor_tpu.data.synthetic import synthetic_world_batch
     from humor_tpu.data.windows import window_to_pairs
-    from humor_tpu.ops import transforms
     import jax.numpy as jnp
 
-    # a realistically-sized store: ~100 sequences x 600 frames
+    # a realistically-sized store built through the real preprocessing
+    # path (process_sequence fills every packed component): gather cost
+    # scales with batch/window size, not store size, so ~40 x 400 frames
+    # is representative
     seqs = []
     rng = np.random.RandomState(0)
-    for i in range(100):
-        world, meta = synthetic_world_batch(i, 1, 600, model=model)
-        aa = transforms.rotmat_to_aa
-        seqs.append({
-            "fps": np.asarray(30.0),
+    for i in range(40):
+        frames = 400
+        raw = {
+            "fps": np.asarray(60.0),
             "gender": ["male", "female"][i % 2],
-            "trans": np.asarray(world["trans"][0]),
-            "root_orient": np.asarray(aa(jnp.asarray(
-                np.asarray(world["root_orient"][0]).reshape(-1, 3, 3)))),
-            "pose_body": np.asarray(aa(jnp.asarray(
-                np.asarray(world["pose_body"][0]).reshape(-1, 21, 3, 3))
-            )).reshape(-1, 63),
-            "betas": np.asarray(meta["betas"][0]),
-            "joints": np.asarray(world["joints"][0]).reshape(-1, 66),
-            "trans_vel": np.asarray(world["trans_vel"][0]),
-            "joints_vel": np.asarray(world["joints_vel"][0]).reshape(-1, 66),
-            "root_orient_vel": np.asarray(world["root_orient_vel"][0]),
-            "contacts": np.asarray(world["contacts"][0]),
-        })
+            "trans": np.cumsum(rng.randn(frames, 3) * 0.01, axis=0),
+            "root_orient": rng.randn(frames, 3) * 0.2,
+            "pose_body": rng.randn(frames, 63) * 0.1,
+            "betas": rng.randn(16) * 0.3,
+        }
+        seq = A.process_sequence(model, raw, discard_terrain=False)
+        assert seq is not None
+        seqs.append(seq)
     ds = AmassDataset.from_processed(seqs)
     to_pairs = jax.jit(window_to_pairs)
 

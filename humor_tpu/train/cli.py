@@ -99,7 +99,12 @@ def make_batch_fn(dataset, cfg, window_frames: int, steps: int, seed: int):
             world_np, meta = dataset.sample_windows(
                 s, cfg.batch_size, window_frames,
                 noise_std=cfg.data_noise_std)
-            world = {k: jnp.asarray(world_np[k]) for k in keep}
+            # unpack_frames returns strided views into the packed frame
+            # buffer; transferring those costs ~2.6x a contiguous copy
+            # over the device link (RESULTS.md "Training throughput",
+            # host-pipeline breakdown) — repack on host first
+            world = {k: jnp.asarray(np.ascontiguousarray(world_np[k]))
+                     for k in keep}
             data_in, data_out, _ = to_pairs(world)
             yield {
                 "data_in": data_in,

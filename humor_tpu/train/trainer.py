@@ -12,10 +12,13 @@ whatever devices the mesh holds (1 chip in this image; v5e-8 in prod).
 
 from __future__ import annotations
 
+import itertools
 import os
+import queue
+import threading
 import time
 from dataclasses import dataclass, field
-from typing import Callable, Dict, Iterable, Optional
+from typing import Callable, Dict, Iterable, Iterator, Optional
 
 import jax
 import numpy as np
@@ -49,8 +52,46 @@ class TrainRunConfig:
     use_smpl_joint_inputs: bool = False
     # k > 1: lax.scan k steps per device dispatch (amortizes the ~32-44 ms
     # fixed per-step host/dispatch cost, step.make_multi_steps). Logging
-    # granularity coarsens to one tracker update per k steps.
-    steps_per_dispatch: int = 1
+    # granularity coarsens to one tracker update per k steps. 0 = auto
+    # (the measured amortization knee, RESULTS.md "Training throughput").
+    steps_per_dispatch: int = 0
+    # host batches pre-gathered ahead of the device by a daemon thread
+    # (the reference uses torch DataLoader workers for the same overlap,
+    # train_humor.py:130-141); 0 disables the thread
+    prefetch_depth: int = 2
+
+
+# measured dispatch-amortization knee on the chip (RESULTS.md "Training
+# throughput"): 67.9 / 41.1 / 36.4 ms per step at k=1/4/8 (B=200) and
+# no further gain at k=16, so auto resolves to 8
+_AUTO_STEPS_PER_DISPATCH = 8
+
+
+def _prefetch(it: Iterator, depth: int) -> Iterator:
+    """Pull from `it` in a daemon thread, up to `depth` items ahead of
+    the consumer, so host-side window gather overlaps device compute
+    (the reference gets the same overlap from torch DataLoader workers,
+    train_humor.py:130-141). Exceptions re-raise at the consumer."""
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def worker():
+        try:
+            for item in it:
+                q.put((item, None))
+        except BaseException as e:  # noqa: BLE001 — re-raised below
+            q.put((_END, e))
+        else:
+            q.put((_END, None))
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item, exc = q.get()
+        if item is _END:
+            if exc is not None:
+                raise exc
+            return
+        yield item
 
 
 class Trainer:
@@ -101,10 +142,13 @@ class Trainer:
         self.sup_step, self.ss_step, self.eval_step = TS.make_train_steps(
             model_cfg, loss_cfg, self.opt, smpl_models, mesh=self.mesh,
             use_smpl_joint_inputs=run_cfg.use_smpl_joint_inputs)
+        self.steps_per_epoch = steps_per_epoch
+        self.k = (run_cfg.steps_per_dispatch
+                  or _AUTO_STEPS_PER_DISPATCH)
         self.multi_sup = self.multi_ss = None
-        if run_cfg.steps_per_dispatch > 1:
+        if self.k > 1:
             self.multi_sup, self.multi_ss = TS.make_multi_steps(
-                self.sup_step, self.ss_step, run_cfg.steps_per_dispatch)
+                self.sup_step, self.ss_step, self.k)
         self.key = jax.random.PRNGKey(seed + 1)
         n_params = H.param_count(self.state.params)
         Logger.log(f"model params: {n_params/1e6:.2f}M; devices: "
@@ -118,12 +162,16 @@ class Trainer:
         rc = self.run_cfg
         use_gt_p = TS.sched_samp_prob(epoch, rc.sched_samp_start,
                                       rc.sched_samp_end)
-        batches = list(self.train_batches(epoch))
-        n = len(batches)
-        k = rc.steps_per_dispatch
+        it = iter(self.train_batches(epoch))
+        if rc.prefetch_depth > 0:
+            it = _prefetch(it, rc.prefetch_depth)
+        k = self.k
         i = 0
-        while i < n:
-            chunk = batches[i:i + k]
+        chunks = 0
+        while True:
+            chunk = list(itertools.islice(it, k))
+            if not chunk:
+                break
             if len(chunk) == k and k > 1:
                 stacked = TS.stack_batches(chunk)
                 if self.mesh is not None:
@@ -148,10 +196,15 @@ class Trainer:
                             self.state, batch, self._next_key(), epoch,
                             use_gt_p)
             i += len(chunk)
+            chunks += 1
             tracker.update(stats, global_step=int(self.state.step))
-            if (i // max(k, 1)) % rc.print_every == 0 or i >= n:
+            if chunks % rc.print_every == 0:
+                n = max(self.steps_per_epoch, i)
                 Logger.log(f"epoch {epoch} {tracker.progress_str(i, n)} "
                            f"(gt_p={use_gt_p:.2f})")
+        if chunks % rc.print_every != 0:  # final partial-window progress
+            Logger.log(f"epoch {epoch} {tracker.progress_str(i, i)} "
+                       f"(gt_p={use_gt_p:.2f})")
         return tracker.averages().get("total_loss", float("nan"))
 
     def _run_val(self, epoch: int) -> float:

@@ -139,10 +139,11 @@ class TrainCLIConfig:
     print_every: int = 10
     # k > 1 scans k train steps per device dispatch (train.step
     # .make_multi_steps) — amortizes the ~32 ms fixed dispatch cost:
-    # measured 67.9 -> 41.1 -> 36.4 ms/step at k=1/4/8 on the chip
-    # (RESULTS.md "Training throughput"). Default 1 keeps per-step
-    # logging/NaN-skip granularity; set 8 for throughput runs.
-    steps_per_dispatch: int = 1
+    # measured 67.9 -> 41.1 -> 36.4 ms/step at k=1/4/8 on the chip, flat
+    # at k=16 (RESULTS.md "Training throughput"). 0 = auto (the measured
+    # knee, k=8); set 1 for per-step logging granularity (NaN-skip is
+    # on-device via optax.apply_if_finite either way).
+    steps_per_dispatch: int = 0
     ckpt: str = ""
     no_load_optim: bool = False
     steps_per_epoch: int = 200
