@@ -154,7 +154,7 @@ def main():
     for scale in scales:
         cfg = make_cfg(scale, args.linesearch)
         runner = O.make_runner(cfg, models)
-        times, vis_list, occ_list = [], [], []
+        times, vis_list, occ_list, e3_list = [], [], [], []
         for rep in range(args.reps):
             # fresh inputs per rep: identical (program, input) pairs can
             # hit remote execution caching (CLAUDE.md)
@@ -174,6 +174,13 @@ def main():
             v, o = mpjpe_split(p["joints3d"], gt)
             vis_list.append(v)
             occ_list.append(o)
+            # final stage-3 ENERGY alongside MPJPE: if energy decreases
+            # monotonically with effort while MPJPE doesn't, the
+            # non-monotone MPJPE-vs-effort curve is the energy<->metric
+            # mismatch (occluded frames have no data term), not
+            # line-search fragility
+            e3_list.append(float(np.nanmin(
+                np.asarray(res.losses["stage3"]))))
             if rep == 0:  # per-stage attribution
                 for st in ("stage1", "stage2", "stage3"):
                     s = res.per_stage[st]
@@ -190,6 +197,7 @@ def main():
             "wallclock_s": round(wall, 3),
             "mpjpe_vis_m": round(float(np.median(vis_list)), 4),
             "mpjpe_occ_m": round(float(np.median(occ_list)), 4),
+            "stage3_energy_median": round(float(np.median(e3_list)), 2),
         }), flush=True)
 
 
