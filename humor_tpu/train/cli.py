@@ -151,7 +151,8 @@ def main(argv=None) -> Dict[str, float]:
         save_every=cfg.save_every, print_every=cfg.print_every,
         resume_ckpt=cfg.ckpt or None, load_optim=not cfg.no_load_optim,
         use_smpl_joint_inputs=cfg.model_use_smpl_joint_inputs,
-        steps_per_dispatch=cfg.steps_per_dispatch)
+        steps_per_dispatch=cfg.steps_per_dispatch,
+        prefetch_depth=cfg.prefetch_depth)
 
     from humor_tpu.data import amass as A
 

@@ -242,11 +242,19 @@ def make_multi_steps(sup_step, ss_step, k: int):
 
 
 def stack_batches(batches):
-    """Host-side: stack a list of batch pytrees along a new leading axis
-    (the scan axis for make_multi_steps)."""
+    """Stack a list of batch pytrees along a new leading axis (the scan
+    axis for make_multi_steps). Device arrays stack on device (jnp.stack
+    — a host round-trip here would pay a device->host readback of every
+    leaf plus a re-upload over the tunneled link); host leaves stack with
+    numpy so the stacked array transfers once."""
     import numpy as np
-    return jax.tree_util.tree_map(
-        lambda *xs: np.stack([np.asarray(x) for x in xs]), *batches)
+
+    def _stack(*xs):
+        if isinstance(xs[0], jax.Array):
+            return jnp.stack(xs)
+        return np.stack([np.asarray(x) for x in xs])
+
+    return jax.tree_util.tree_map(_stack, *batches)
 
 
 def sched_samp_prob(epoch: int, start: int, end: int) -> float:

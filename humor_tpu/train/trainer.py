@@ -71,27 +71,44 @@ def _prefetch(it: Iterator, depth: int) -> Iterator:
     """Pull from `it` in a daemon thread, up to `depth` items ahead of
     the consumer, so host-side window gather overlaps device compute
     (the reference gets the same overlap from torch DataLoader workers,
-    train_humor.py:130-141). Exceptions re-raise at the consumer."""
+    train_humor.py:130-141). Exceptions re-raise at the consumer. If the
+    consumer abandons the generator early (train-step exception,
+    generator GC), the `stop` event unblocks the worker so it exits
+    instead of leaking a thread plus `depth` pre-gathered batches."""
     q: queue.Queue = queue.Queue(maxsize=depth)
     _END = object()
+    stop = threading.Event()
+
+    def _put(item):
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in it:
-                q.put((item, None))
+                if not _put((item, None)):
+                    return
         except BaseException as e:  # noqa: BLE001 — re-raised below
-            q.put((_END, e))
+            _put((_END, e))
         else:
-            q.put((_END, None))
+            _put((_END, None))
 
     threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item, exc = q.get()
-        if item is _END:
-            if exc is not None:
-                raise exc
-            return
-        yield item
+    try:
+        while True:
+            item, exc = q.get()
+            if item is _END:
+                if exc is not None:
+                    raise exc
+                return
+            yield item
+    finally:
+        stop.set()
 
 
 class Trainer:
@@ -184,6 +201,9 @@ class Trainer:
                 stats = jax.tree_util.tree_map(
                     lambda x: x.mean(0) if hasattr(x, "ndim") and x.ndim
                     else x, stats_k)
+                # one update weighted by k so every scanned step carries
+                # the same weight in epoch averages as a solo step
+                tracker.update(stats, n=k, global_step=int(self.state.step))
             else:
                 for batch in chunk:
                     if self.mesh is not None:
@@ -195,9 +215,10 @@ class Trainer:
                         self.state, stats = self.ss_step(
                             self.state, batch, self._next_key(), epoch,
                             use_gt_p)
+                    tracker.update(stats,
+                                   global_step=int(self.state.step))
             i += len(chunk)
             chunks += 1
-            tracker.update(stats, global_step=int(self.state.step))
             if chunks % rc.print_every == 0:
                 n = max(self.steps_per_epoch, i)
                 Logger.log(f"epoch {epoch} {tracker.progress_str(i, n)} "

@@ -144,6 +144,9 @@ class TrainCLIConfig:
     # knee, k=8); set 1 for per-step logging granularity (NaN-skip is
     # on-device via optax.apply_if_finite either way).
     steps_per_dispatch: int = 0
+    # host batches pre-gathered ahead of the device by a daemon thread
+    # (trainer.TrainRunConfig.prefetch_depth); 0 disables the thread
+    prefetch_depth: int = 2
     ckpt: str = ""
     no_load_optim: bool = False
     steps_per_epoch: int = 200

@@ -55,6 +55,29 @@ class TestPrefetch:
     def test_empty(self):
         assert list(_prefetch(iter(()), depth=2)) == []
 
+    def test_abandoned_consumer_unblocks_worker(self):
+        # the consumer stops mid-stream (e.g. a train-step exception);
+        # the worker must exit instead of blocking on q.put forever
+        import threading
+        import time
+
+        started = threading.Event()
+        exited = threading.Event()
+
+        def slow_src():
+            try:
+                started.set()
+                for i in range(1000):
+                    yield i
+            finally:
+                exited.set()
+
+        it = _prefetch(slow_src(), depth=1)
+        assert next(it) == 0
+        started.wait(timeout=5)
+        it.close()  # abandon: generator finally sets the stop event
+        assert exited.wait(timeout=5), "prefetch worker leaked"
+
 
 class TestTrainerLoop:
     def _run_cfg(self, tmp_path, **kw):
@@ -96,6 +119,41 @@ class TestTrainerLoop:
         for name in ("best_train_model.npz", "best_model.npz",
                      "final_model.npz"):
             assert os.path.exists(os.path.join(str(tmp_path), name)), name
+
+    def test_remainder_steps_all_feed_tracker(self, tmp_path):
+        # 5 batches at k=2 -> every one of the 5 steps must land in the
+        # epoch averages: 2 stacked chunks at weight k=2 plus 1 remainder
+        # step tracked individually (round-4 advisor: the remainder loop
+        # used to record only its last batch)
+        from humor_tpu.utils.stats import StatTracker
+
+        loss_cfg = LossConfig(smpl_joint_loss=0.0, smpl_mesh_loss=0.0,
+                              smpl_joint_consistency_loss=0.0)
+        run_cfg = self._run_cfg(tmp_path, steps_per_dispatch=2)
+        tr = Trainer(H.HumorConfig(), loss_cfg, run_cfg,
+                     train_batches=batch_fn(5), steps_per_epoch=5, seed=3)
+        tracker = StatTracker(str(tmp_path))
+        tr._run_epoch(0, tracker)
+        assert tracker.meters["total_loss"].count == 5
+
+    def test_stack_batches_keeps_device_arrays_on_device(self):
+        # device-resident batches (the CLI's make_batch_fn path) must
+        # stack via jnp, not a host readback + re-upload per leaf
+        import jax
+        import jax.numpy as jnp
+
+        from humor_tpu.train import step as TS
+
+        dev = [{"a": jnp.arange(3.0) + i, "b": np.full((2,), i)}
+               for i in range(4)]
+        stacked = TS.stack_batches(dev)
+        assert isinstance(stacked["a"], jax.Array)
+        np.testing.assert_allclose(
+            np.asarray(stacked["a"]),
+            np.stack([np.arange(3.0) + i for i in range(4)]))
+        np.testing.assert_allclose(np.asarray(stacked["b"]),
+                                   np.stack([np.full((2,), i)
+                                             for i in range(4)]))
 
     def test_prefetch_off_matches_on(self, tmp_path):
         loss_cfg = LossConfig(smpl_joint_loss=0.0, smpl_mesh_loss=0.0,
