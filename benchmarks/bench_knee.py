@@ -81,7 +81,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="1,2,4,8,20")
     ap.add_argument("--reps", type=int, default=3)
-    ap.add_argument("--linesearch", default="parallel")
+    ap.add_argument("--linesearch", default="parallel",
+                    help="comma list interleaves variants rep-by-rep in "
+                         "ONE process (tunnel/host load drifts 30%+ "
+                         "between processes — CLAUDE.md)")
+    ap.add_argument("--seed-base", type=int, default=777,
+                    help="workload seed for rep 0 (rep i uses base+i); "
+                         "900 = the documented hard-seed set")
     # fixture-model quality: the T=60 open-loop rollout needs a prior
     # trained with long scheduled-sampling windows, or stage 3 measures
     # model capacity instead of optimizer effort (the reference's
@@ -151,54 +157,65 @@ def main():
           file=sys.stderr)
 
     scales = [int(s) for s in args.scales.split(",")]
+    searches = args.linesearch.split(",")
     for scale in scales:
-        cfg = make_cfg(scale, args.linesearch)
-        runner = O.make_runner(cfg, models)
-        times, vis_list, occ_list, e3_list = [], [], [], []
+        runners = {ls: O.make_runner(make_cfg(scale, ls), models)
+                   for ls in searches}
+        acc = {ls: {"times": [], "vis": [], "occ": [], "e3": []}
+               for ls in searches}
         for rep in range(args.reps):
             # fresh inputs per rep: identical (program, input) pairs can
             # hit remote execution caching (CLAUDE.md)
-            observed, gt = build_workload(models, seed=777 + rep)
-            t0 = time.time()
-            res = runner(observed)
-            jax.block_until_ready(res.final["trans"])
-            dt = time.time() - t0
-            if rep == 0:
-                dt_compile = dt  # first rep pays compile
-            else:
-                times.append(dt)
-            p = smpl_results(models.body, res.final["trans"],
-                             res.final["root_orient"],
-                             res.final["pose_body"], res.final["betas"],
-                             verts="none")
-            v, o = mpjpe_split(p["joints3d"], gt)
-            vis_list.append(v)
-            occ_list.append(o)
-            # final stage-3 ENERGY alongside MPJPE: if energy decreases
-            # monotonically with effort while MPJPE doesn't, the
-            # non-monotone MPJPE-vs-effort curve is the energy<->metric
-            # mismatch (occluded frames have no data term), not
-            # line-search fragility
-            e3_list.append(float(np.nanmin(
-                np.asarray(res.losses["stage3"]))))
-            if rep == 0:  # per-stage attribution
-                for st in ("stage1", "stage2", "stage3"):
-                    s = res.per_stage[st]
-                    ps = smpl_results(models.body, s["trans"],
-                                      s["root_orient"], s["pose_body"],
-                                      s["betas"], verts="none")
-                    sv, so = mpjpe_split(ps["joints3d"], gt)
-                    print(f"[knee] scale {scale} {st}: vis {sv:.3f} "
-                          f"occ {so:.3f}", file=sys.stderr, flush=True)
-        wall = float(np.median(times)) if times else dt_compile
-        print(json.dumps({
-            "scale": scale,
-            "num_iters": [n * scale for n in BASE_ITERS],
-            "wallclock_s": round(wall, 3),
-            "mpjpe_vis_m": round(float(np.median(vis_list)), 4),
-            "mpjpe_occ_m": round(float(np.median(occ_list)), 4),
-            "stage3_energy_median": round(float(np.median(e3_list)), 2),
-        }), flush=True)
+            observed, gt = build_workload(models, seed=args.seed_base + rep)
+            for ls in searches:  # interleaved within the rep
+                a = acc[ls]
+                t0 = time.time()
+                res = runners[ls](observed)
+                jax.block_until_ready(res.final["trans"])
+                dt = time.time() - t0
+                if rep == 0:
+                    a["compile_s"] = dt  # first rep pays compile
+                else:
+                    a["times"].append(dt)
+                p = smpl_results(models.body, res.final["trans"],
+                                 res.final["root_orient"],
+                                 res.final["pose_body"],
+                                 res.final["betas"], verts="none")
+                v, o = mpjpe_split(p["joints3d"], gt)
+                a["vis"].append(v)
+                a["occ"].append(o)
+                # final stage-3 ENERGY alongside MPJPE: if energy
+                # decreases monotonically with effort while MPJPE
+                # doesn't, the non-monotone MPJPE-vs-effort curve is the
+                # energy<->metric mismatch (occluded frames have no data
+                # term), not line-search fragility
+                a["e3"].append(float(np.nanmin(
+                    np.asarray(res.losses["stage3"]))))
+                if rep == 0:  # per-stage attribution
+                    for st in ("stage1", "stage2", "stage3"):
+                        s = res.per_stage[st]
+                        ps = smpl_results(models.body, s["trans"],
+                                          s["root_orient"], s["pose_body"],
+                                          s["betas"], verts="none")
+                        sv, so = mpjpe_split(ps["joints3d"], gt)
+                        print(f"[knee] scale {scale} {ls} {st}: vis "
+                              f"{sv:.3f} occ {so:.3f}", file=sys.stderr,
+                              flush=True)
+        for ls in searches:
+            a = acc[ls]
+            wall = (float(np.median(a["times"])) if a["times"]
+                    else a["compile_s"])
+            print(json.dumps({
+                "scale": scale,
+                "linesearch": ls,
+                "seed_base": args.seed_base,
+                "num_iters": [n * scale for n in BASE_ITERS],
+                "wallclock_s": round(wall, 3),
+                "mpjpe_vis_m": round(float(np.median(a["vis"])), 4),
+                "mpjpe_occ_m": round(float(np.median(a["occ"])), 4),
+                "stage3_energy_median": round(float(np.median(a["e3"])),
+                                              2),
+            }), flush=True)
 
 
 if __name__ == "__main__":

@@ -321,6 +321,19 @@ def lbs(model: SmplModel,
     return SmplOutput(v=v_out, Jtr=joints_out)
 
 
+def rest_root_joint(model: SmplModel, betas: jnp.ndarray) -> jnp.ndarray:
+    """Shaped rest-pose ROOT joint j0 (B, 3) — a function of betas only.
+
+    SMPL composes the global orientation about j0 and adds `trans`
+    afterwards, so rigid maps of the posed body reduce to parameter
+    arithmetic through this point (geometry.rigid_transform_smpl_params
+    and the TTO's camera<->prior frame change both hinge on it)."""
+    v_shaped = model.v_template + jnp.einsum(
+        "bl,vcl->bvc", betas, model.shapedirs, precision=_HI)
+    return jnp.einsum("v,bvc->bc", model.j_regressor[0], v_shaped,
+                      precision=_HI)
+
+
 def forward(model: SmplModel,
             root_orient: jnp.ndarray,            # (B, 3) aa or (B, 3, 3)
             pose_body: jnp.ndarray,              # (B, (Jb)*3) aa or (B, Jb, 3, 3)

@@ -592,10 +592,15 @@ def make_runner(cfg: TTOConfig, models: TTOModels, mesh=None,
     def _cam2prior_of(v):
         if not cfg.optim_floor:
             return None
+        # compute_cam2prior reads only frame-0 joints; the reference
+        # (motion_optimizer.py:520-525) skins ALL T frames per closure
+        # eval and indexes [:,0] — decode + skin just frame 0 instead
+        # (one of the ~5 VPoser/SMPL passes per stage-3 evaluation)
         bp0 = vp.latent2pose(models.vposer_cfg, models.vposer,
-                             v["latent_pose"])
-        cam_smpl = smpl_results(models.body, v["trans"], v["root_orient"],
-                                bp0, v["betas"], verts="none")
+                             v["latent_pose"][:, :1])
+        cam_smpl = smpl_results(models.body, v["trans"][:, :1],
+                                v["root_orient"][:, :1], bp0,
+                                v["betas"], verts="none")
         return geo.compute_cam2prior(
             v["floor_plane"], v["trans"][:, 0], v["root_orient"][:, 0],
             cam_smpl["joints3d"][:, 0])
@@ -625,10 +630,32 @@ def make_runner(cfg: TTOConfig, models: TTOModels, mesh=None,
                 pred["contacts_conf"] = prior_out["contacts_conf"]
 
             if cfg.optim_floor:
-                cam_pred = smpl_results(models.body, cam_out["trans"],
-                                        cam_out["root_orient"],
-                                        cam_out["pose_body"], v["betas"],
-                                        verts=mode)
+                # The camera-frame prediction is an EXACT rigid map of
+                # the prior-frame prediction: SMPL composes the root
+                # orientation about the shaped rest root joint j0, so
+                # the cam2prior-inverse parameters (trans_c = R^T(trans
+                # - trans[:,0]) - t, orient_c = R^T orient) move every
+                # body point by p_cam = R^T(p - trans[:,0] - j0) + j0
+                # - t. The reference instead re-skins the whole body in
+                # the camera frame every closure eval
+                # (motion_optimizer.py:580-585, a second smpl_results on
+                # cur_cam_trans/cur_cam_root_orient) — one of the two
+                # full-T LBS passes per evaluation, removed here.
+                # Parity pin:
+                # tests/test_tto_rgb.py::test_cam_frame_rigid_map.
+                R, t, _rh = c2p
+                j0 = smpl_lib.rest_root_joint(models.body, v["betas"])
+                shift = (prior_out["trans"][:, 0] + j0)[:, None, None]
+                off = (j0 - t)[:, None, None]
+
+                def _to_cam(p):
+                    q = jnp.einsum("bji,btnj->btni", R, p - shift,
+                                   precision=jax.lax.Precision.HIGHEST)
+                    return q + off
+
+                cam_pred = {k: _to_cam(pred[k]) for k in
+                            ("joints3d", "joints3d_extra", "verts3d",
+                             "points3d") if k in pred}
                 cam_pred["latent_pose"] = pred["latent_pose"]
                 cam_pred["betas"] = v["betas"]
                 cam_pred["floor_plane"] = v["floor_plane"]

@@ -73,6 +73,50 @@ def observed(models):
     }
 
 
+def test_cam_frame_rigid_map(models):
+    """The stage-3 closure replaces the camera-frame LBS pass with a
+    rigid map of the prior-frame points (optimizer.stage3_loss_fn):
+    with cam params trans_c = R^T(trans - trans[:,0]) - t and orient_c =
+    R^T orient (apply_cam2prior inverse), every skinned point must obey
+    p_cam = R^T(p - trans[:,0] - j0) + j0 - t, j0 the shaped rest root
+    joint. Pin that identity against an actual second skinning pass."""
+    from humor_tpu.body_model import smpl as smpl_lib
+    from humor_tpu.ops import transforms
+
+    rng = np.random.RandomState(3)
+    betas = jnp.asarray(rng.randn(B, C.BETA_SIZE).astype(np.float32) * 0.5)
+    trans = jnp.asarray(rng.randn(B, T, 3).astype(np.float32))
+    ro = jnp.asarray(rng.randn(B, T, 3).astype(np.float32) * 0.6)
+    z = jnp.asarray(rng.randn(B, T, models.vposer_cfg.latent_dim)
+                    .astype(np.float32) * 0.3)
+    pose = vp.latent2pose(models.vposer_cfg, models.vposer, z)
+
+    R = transforms.aa_to_rotmat(
+        jnp.asarray(rng.randn(B, 3).astype(np.float32)))
+    t = jnp.asarray(rng.randn(B, 3).astype(np.float32))
+    rh = jnp.asarray(rng.rand(B, 1).astype(np.float32))
+
+    cam = geo.apply_cam2prior(trans, ro, R, t, rh,
+                              jnp.zeros((B,), jnp.int32), inverse=True)
+    direct = O.smpl_results(models.body, cam["trans"], cam["root_orient"],
+                            pose, betas, verts="keypt")
+
+    prior = O.smpl_results(models.body, trans, ro, pose, betas,
+                           verts="keypt")
+    j0 = smpl_lib.rest_root_joint(models.body, betas)
+    shift = (trans[:, 0] + j0)[:, None, None]
+    off = (j0 - t)[:, None, None]
+
+    def to_cam(p):
+        return jnp.einsum("bji,btnj->btni", R, p - shift,
+                          precision=jax.lax.Precision.HIGHEST) + off
+
+    for key in ("joints3d", "verts3d"):
+        np.testing.assert_allclose(np.asarray(to_cam(prior[key])),
+                                   np.asarray(direct[key]),
+                                   atol=2e-5, err_msg=key)
+
+
 def test_rgb_fit_runs_and_improves(models, observed):
     w1 = E.StageWeights(joints2d=0.001)
     w2 = E.StageWeights(joints2d=0.001, pose_prior=4e-4, shape_prior=6e-3,
