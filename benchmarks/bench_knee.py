@@ -52,7 +52,13 @@ def build_workload(models, seed=777):
     return {"joints3d": jnp.asarray(occ)}, gt
 
 
-def make_cfg(scale: int, linesearch: str = "parallel"):
+def make_cfg(scale: int, linesearch: str = "parallel",
+             s12_scale: int = 0):
+    """s12_scale > 0 pins stages 1/2 at that scale while `scale` drives
+    only stage 3 — isolates stage-3 effort from the init-shift chaos of
+    scaling every stage jointly (a different stage-2 budget hands stage 3
+    a different starting point, so joint scaling confounds 'more
+    optimizer effort' with 'different basin')."""
     from humor_tpu.fitting import energies as E
     from humor_tpu.fitting import optimizer as O
 
@@ -62,9 +68,11 @@ def make_cfg(scale: int, linesearch: str = "parallel"):
     w3 = E.StageWeights(joints3d=1.0, pose_prior=4e-4, shape_prior=6e-3,
                         motion_prior=1e-4, joint_consistency=10.0,
                         bone_length=10.0, joints3d_rollout=0.1)
+    s12 = s12_scale or scale
     return O.TTOConfig(
         seq_len=T, stage_weights=(w1, w2, w3),
-        num_iters=tuple(n * scale for n in BASE_ITERS),
+        num_iters=(BASE_ITERS[0] * s12, BASE_ITERS[1] * s12,
+                   BASE_ITERS[2] * scale),
         lbfgs_linesearch=linesearch,
         stage3_freeze_start=30 * scale, stage3_freeze_end=55 * scale)
 
@@ -88,6 +96,10 @@ def main():
     ap.add_argument("--seed-base", type=int, default=777,
                     help="workload seed for rep 0 (rep i uses base+i); "
                          "900 = the documented hard-seed set")
+    ap.add_argument("--s12-scale", type=int, default=0,
+                    help="pin stage-1/2 budgets at this scale while "
+                         "--scales drives only stage 3 (attribution "
+                         "mode: constant stage-3 init)")
     # fixture-model quality: the T=60 open-loop rollout needs a prior
     # trained with long scheduled-sampling windows, or stage 3 measures
     # model capacity instead of optimizer effort (the reference's
@@ -159,7 +171,8 @@ def main():
     scales = [int(s) for s in args.scales.split(",")]
     searches = args.linesearch.split(",")
     for scale in scales:
-        runners = {ls: O.make_runner(make_cfg(scale, ls), models)
+        runners = {ls: O.make_runner(
+            make_cfg(scale, ls, s12_scale=args.s12_scale), models)
                    for ls in searches}
         acc = {ls: {"times": [], "vis": [], "occ": [], "e3": []}
                for ls in searches}
@@ -209,7 +222,8 @@ def main():
                 "scale": scale,
                 "linesearch": ls,
                 "seed_base": args.seed_base,
-                "num_iters": [n * scale for n in BASE_ITERS],
+                "num_iters": list(make_cfg(
+                    scale, s12_scale=args.s12_scale).num_iters),
                 "wallclock_s": round(wall, 3),
                 "mpjpe_vis_m": round(float(np.median(a["vis"])), 4),
                 "mpjpe_occ_m": round(float(np.median(a["occ"])), 4),
