@@ -112,9 +112,13 @@ def main():
     # stage-2/3 MPJPE (the 96/800 default measured 0.1675 rad MAE);
     # sweep these to check the knee is set by optimizer effort, not the
     # fixture (VERDICT r3 weak #5)
-    ap.add_argument("--vp-hidden", type=int, default=96)
-    ap.add_argument("--vp-steps", type=int, default=800)
-    ap.add_argument("--vp-seqs", type=int, default=64)
+    # defaults = the round-5 upgraded fixture (round-trip MAE 0.1507
+    # rad): with the old 96/800/64 fixture the joint-scaling sweep was
+    # non-monotone because weak stage-2 basins fed stage 3 chaotic
+    # inits (RESULTS.md "Knee monotonicity: attribution")
+    ap.add_argument("--vp-hidden", type=int, default=256)
+    ap.add_argument("--vp-steps", type=int, default=3000)
+    ap.add_argument("--vp-seqs", type=int, default=128)
     ap.add_argument("--cache", default="",
                     help="npz cache for the trained fixture models "
                          "('' = auto path keyed by the fixture params, "
