@@ -578,12 +578,8 @@ def make_runner(cfg: TTOConfig, models: TTOModels, mesh=None,
                 [res.loss_history, res2.loss_history]))
         return _run(linesearch, vars_, iters)
 
-    # ---- stage 1/2 losses
-    def stage1_loss(v, observed):
-        pred, _ = _stage12_pred(models, v, observed)
-        loss, _ = E.root_fit(cfg.energy, w1, observed, pred)
-        return loss
-
+    # ---- stage 2 loss (stage 1's loss lives in _stage1_body: its
+    # frozen pose/betas admit a skin-once rigid fast path)
     def stage2_loss(v, observed):
         pred, _ = _stage12_pred(models, v, observed)
         loss, _ = E.smpl_fit(cfg.energy, w2, observed, pred, T)
@@ -687,7 +683,39 @@ def make_runner(cfg: TTOConfig, models: TTOModels, mesh=None,
     # fused path inlines them all into one program.
     def _stage1_body(vars_, observed):
         mask = make_mask(vars_, lambda k: k in ("trans", "root_orient"))
-        return _lbfgs(stage1_loss, vars_, cfg.num_iters[0], observed,
+        # Stage 1 optimizes ONLY the root (reference root_fit,
+        # fitting_loss.py:96-181; stage-1 loop motion_optimizer.py:
+        # 214-254 with body pose frozen): pose and betas never change,
+        # so the per-iteration VPoser decode + full-T LBS pass is
+        # loop-invariant up to the root rigid transform. Skin ONCE with
+        # an identity root at zero trans; every closure evaluation (and
+        # every line-search candidate) then applies the SMPL root
+        # identity p = R_root (base - j0) + j0 + trans — the same
+        # algebra as the camera-frame rigid map, pinned by
+        # tests/test_tto.py::test_stage1_rigid_pred_matches_lbs.
+        bp = vp.latent2pose(models.vposer_cfg, models.vposer,
+                            vars_["latent_pose"])
+        mode = verts_mode_for(observed)
+        base = smpl_results(models.body, jnp.zeros_like(vars_["trans"]),
+                            jnp.zeros_like(vars_["root_orient"]), bp,
+                            vars_["betas"], verts=mode)
+        j0 = smpl_lib.rest_root_joint(models.body, vars_["betas"])
+        j0b = j0[:, None, None]
+        base_pts = {k: base[k] - j0b for k in
+                    ("joints3d", "joints3d_extra", "verts3d", "points3d")
+                    if k in base}
+
+        def loss(v, observed):
+            R = transforms.aa_to_rotmat(v["root_orient"])  # (B, T, 3, 3)
+            off = j0b + v["trans"][:, :, None]
+            pred = {k: jnp.einsum(
+                        "btij,btnj->btni", R, p,
+                        precision=jax.lax.Precision.HIGHEST) + off
+                    for k, p in base_pts.items()}
+            l, _ = E.root_fit(cfg.energy, w1, observed, pred)
+            return l
+
+        return _lbfgs(loss, vars_, cfg.num_iters[0], observed,
                       mask=mask, stage=0)
 
     def _stage2_body(vars_, observed):

@@ -223,6 +223,37 @@ def test_resolve_candidates_falsy_means_auto():
     assert O.resolve_candidates(0, 32) == 4
 
 
+def test_stage1_rigid_pred_matches_lbs(models):
+    """Stage 1's fast path skins once with an identity root and applies
+    p = R_root (base - j0) + j0 + trans per iteration
+    (optimizer._stage1_body). Pin the SMPL root identity against a real
+    LBS pass over random roots/translations/poses/betas."""
+    from humor_tpu.body_model import smpl as smpl_lib
+    from humor_tpu.ops import transforms
+
+    rng = np.random.RandomState(7)
+    betas = jnp.asarray(rng.randn(B, C.BETA_SIZE).astype(np.float32) * 0.5)
+    trans = jnp.asarray(rng.randn(B, T, 3).astype(np.float32))
+    ro = jnp.asarray(rng.randn(B, T, 3).astype(np.float32))
+    z = jnp.asarray(rng.randn(B, T, models.vposer_cfg.latent_dim)
+                    .astype(np.float32) * 0.3)
+    pose = vp.latent2pose(models.vposer_cfg, models.vposer, z)
+
+    direct = O.smpl_results(models.body, trans, ro, pose, betas,
+                            verts="keypt")
+    base = O.smpl_results(models.body, jnp.zeros_like(trans),
+                          jnp.zeros_like(ro), pose, betas, verts="keypt")
+    j0 = smpl_lib.rest_root_joint(models.body, betas)[:, None, None]
+    R = transforms.aa_to_rotmat(ro)
+    for key in ("joints3d", "verts3d"):
+        fast = jnp.einsum("btij,btnj->btni", R, base[key] - j0,
+                          precision=jax.lax.Precision.HIGHEST) \
+            + j0 + trans[:, :, None]
+        np.testing.assert_allclose(np.asarray(fast),
+                                   np.asarray(direct[key]),
+                                   atol=2e-5, err_msg=key)
+
+
 def test_hybrid_linesearch_runs(tto_cfg, models, observed):
     """'hybrid' = parallel bulk + zoom polish tail per stage; the loss
     history must cover the full budget and end equal-or-better than the
