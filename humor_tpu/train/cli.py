@@ -75,13 +75,24 @@ def load_body_models(smplh_root: str) -> Optional[Dict]:
 
 
 def make_batch_fn(dataset, cfg, window_frames: int, steps: int, seed: int):
-    """-> train_batches(epoch) generator factory: host gather + device
-    canonicalization per batch."""
+    """-> train_batches(epoch) generator factory.
+
+    Two data paths (identical values at noise_std=0, pinned by
+    tests/test_device_store.py):
+      * device-resident store (default when it fits the HBM budget):
+        the packed store is staged once and each batch moves only the
+        sampled window indices before an on-device gather+canonicalize
+        (humor_tpu.data.device_store) — removes the per-batch bulk
+        transfer from the step loop entirely;
+      * host gather + per-batch transfer + device canonicalization
+        (--data-on-device 0, or stores past the budget).
+    """
     import jax
     import jax.numpy as jnp
 
     from functools import partial
 
+    from humor_tpu.data.device_store import maybe_stage
     from humor_tpu.data.windows import window_to_pairs, window_to_pairs_multi
 
     steps_in = getattr(cfg, "model_steps_in", 1)
@@ -92,10 +103,22 @@ def make_batch_fn(dataset, cfg, window_frames: int, steps: int, seed: int):
         to_pairs = lambda w: multi(w) + (None,)
     keep = ("trans", "trans_vel", "root_orient", "root_orient_vel",
             "pose_body", "joints", "joints_vel", "contacts")
+    dev_store = maybe_stage(dataset,
+                            getattr(cfg, "data_on_device", -1),
+                            columns=keep)
 
     def batches(epoch: int):
         for i in range(steps):
             s = seed + epoch * 100003 + i
+            if dev_store is not None:
+                world, meta = dev_store.sample_windows(
+                    s, cfg.batch_size, window_frames,
+                    noise_std=cfg.data_noise_std)
+                data_in, data_out, _ = to_pairs(world)
+                yield {"data_in": data_in, "data_out": data_out,
+                       "betas": meta["betas"],
+                       "gender_ids": meta["gender_ids"]}
+                continue
             world_np, meta = dataset.sample_windows(
                 s, cfg.batch_size, window_frames,
                 noise_std=cfg.data_noise_std)

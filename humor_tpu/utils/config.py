@@ -99,6 +99,11 @@ class TrainCLIConfig:
     batch_size: int = 200
     sample_num_frames: int = 10
     data_noise_std: float = 0.0
+    # stage the packed frame store in device HBM and build batches on
+    # device from index-only transfers (data/device_store.py): 1 = on,
+    # 0 = off (host gather + per-batch transfer), -1 = auto (on when
+    # the staged columns fit HUMOR_DEVICE_DATA_BUDGET, default 8 GB)
+    data_on_device: int = -1
     # model
     latent_size: int = 48
     in_rot_rep: str = "mat"

@@ -1,0 +1,116 @@
+"""Device-resident window store (data/device_store.py): value parity
+with the host gather path, noise semantics, budget gating, and the
+train-CLI batch fn wired through it end to end."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from humor_tpu.data import dataset as D
+from humor_tpu.data import device_store as DS
+from humor_tpu.data.windows import window_to_pairs
+from tests.test_dataset import _make_processed
+
+
+@pytest.fixture(scope="module")
+def dataset():
+    return D.AmassDataset.from_processed(_make_processed())
+
+
+@pytest.fixture(scope="module")
+def staged(dataset):
+    return DS.DeviceWindowStore.from_dataset(dataset)
+
+
+def test_device_gather_matches_host(dataset, staged):
+    """Same seed -> same sampled windows; the staged gather must
+    reproduce the host gather bit-exactly at noise 0."""
+    world_h, meta_h = dataset.sample_windows(7, 6, 11, noise_std=0.0)
+    world_d, meta_d = staged.sample_windows(7, 6, 11, noise_std=0.0)
+    assert set(world_d.keys()) == set(DS.TRAIN_COLUMNS)
+    for k in world_d:
+        np.testing.assert_array_equal(np.asarray(world_d[k]), world_h[k])
+    np.testing.assert_array_equal(np.asarray(meta_d["betas"]),
+                                  meta_h["betas"])
+    np.testing.assert_array_equal(np.asarray(meta_d["gender_ids"]),
+                                  meta_h["gender_ids"] % 2)
+
+
+def test_device_pairs_match_host(dataset, staged):
+    """Canonicalized training pairs agree between the two paths."""
+    world_h, _ = dataset.sample_windows(3, 4, 11)
+    world_h = {k: jnp.asarray(np.ascontiguousarray(world_h[k]))
+               for k in DS.TRAIN_COLUMNS}
+    world_d, _ = staged.sample_windows(3, 4, 11)
+    in_h, out_h, _ = window_to_pairs(world_h)
+    in_d, out_d, _ = window_to_pairs(world_d)
+    for k in in_h:
+        np.testing.assert_allclose(np.asarray(in_d[k]),
+                                   np.asarray(in_h[k]), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out_d[k]),
+                                   np.asarray(out_h[k]), atol=1e-6)
+
+
+def test_device_noise_semantics(staged):
+    """Noise is additive gaussian on every channel (host-gather parity)
+    and deterministic in the seed."""
+    w0, _ = staged.sample_windows(5, 8, 11, noise_std=0.0)
+    w1, _ = staged.sample_windows(5, 8, 11, noise_std=0.05)
+    w2, _ = staged.sample_windows(5, 8, 11, noise_std=0.05)
+    deltas = np.concatenate([
+        (np.asarray(w1[k]) - np.asarray(w0[k])).ravel() for k in w0])
+    assert np.all(np.isfinite(deltas))
+    assert 0.03 < deltas.std() < 0.07          # ~N(0, 0.05)
+    assert abs(deltas.mean()) < 5e-3
+    for k in w0:                               # same seed -> same draw
+        np.testing.assert_array_equal(np.asarray(w1[k]),
+                                      np.asarray(w2[k]))
+
+
+def test_budget_gating(dataset):
+    nbytes = DS.DeviceWindowStore.staged_nbytes(dataset)
+    assert nbytes == dataset.store.shape[0] * 4 * sum(
+        b - a for a, b in
+        (D._FRAME_OFFSETS[c] for c in DS.TRAIN_COLUMNS))
+    assert DS.maybe_stage(dataset, mode=0) is None
+    assert DS.maybe_stage(dataset, mode=-1,
+                          budget_bytes=nbytes - 1) is None
+    st = DS.maybe_stage(dataset, mode=1, budget_bytes=0)
+    assert st is not None                      # forced past the budget
+    assert DS.maybe_stage(dataset, mode=-1,
+                          budget_bytes=nbytes) is not None
+
+
+def test_train_cli_batch_fn_device_path(dataset):
+    """make_batch_fn(data_on_device=1) yields device-built batches that
+    match the host path bit-for-bit and feed the train step."""
+    from types import SimpleNamespace
+
+    from humor_tpu.train.cli import make_batch_fn
+
+    def cfg(on_device):
+        return SimpleNamespace(batch_size=4, data_noise_std=0.0,
+                               model_steps_in=1, data_on_device=on_device)
+
+    dev = list(make_batch_fn(dataset, cfg(1), 11, 2, seed=3)(0))
+    host = list(make_batch_fn(dataset, cfg(0), 11, 2, seed=3)(0))
+    assert len(dev) == len(host) == 2
+    for bd, bh in zip(dev, host):
+        assert set(bd) == set(bh)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-6), bd, bh)
+
+    from humor_tpu.losses.elbo import LossConfig
+    from humor_tpu.models import humor as H
+    from humor_tpu.train import step as TS
+
+    mcfg = H.HumorConfig()
+    opt = TS.make_optimizer(lr=1e-4, steps_per_epoch=2)
+    state = TS.init_train_state(mcfg, opt, jax.random.PRNGKey(0))
+    sup, _, _ = TS.make_train_steps(mcfg, LossConfig(
+        smpl_joint_loss=0.0, smpl_mesh_loss=0.0,
+        smpl_joint_consistency_loss=0.0), opt, None)
+    state, stats = sup(state, dev[0], jax.random.PRNGKey(1), 0)
+    assert np.isfinite(float(stats["total_loss"]))
