@@ -64,11 +64,12 @@ def _column_layout(columns: Sequence[str]):
          static_argnames=("window_frames", "layout_items", "noise_std"))
 def _gather_world(store, rows0, key, *, window_frames: int,
                   layout_items: tuple, noise_std: float):
-    """(B,) start rows -> world dict {name: (B, W, D)} with optional
+    """(..., ) start rows -> world dict {name: (..., W, D)} with optional
     additive gaussian noise on every channel (host-gather parity,
-    native/window_sampler.cpp)."""
-    rows = rows0[:, None] + jnp.arange(window_frames, dtype=rows0.dtype)
-    frames = jnp.take(store, rows, axis=0)      # (B, W, D)
+    native/window_sampler.cpp). Leading dims pass through, so one
+    program serves both per-batch (B,) and k-chunk (k, B) gathers."""
+    rows = rows0[..., None] + jnp.arange(window_frames, dtype=rows0.dtype)
+    frames = jnp.take(store, rows, axis=0)      # (..., W, D)
     if noise_std > 0.0:
         frames = frames + noise_std * jax.random.normal(
             key, frames.shape, frames.dtype)
@@ -124,6 +125,38 @@ class DeviceWindowStore:
                             .astype(idx_dtype))
         seq_dev = jnp.asarray(seq_idx.astype(np.int32))
         key = jax.random.PRNGKey(seed + 1)
+        world = _gather_world(
+            self.store, rows0, key, window_frames=window_frames,
+            layout_items=tuple(sorted(self.layout.items())),
+            noise_std=float(noise_std))
+        meta = {"betas": jnp.take(self.betas, seq_dev, axis=0),
+                "gender_ids": jnp.take(self.gender_ids, seq_dev, axis=0)}
+        return world, meta
+
+    def sample_window_chunk(self, seeds: Sequence[int], batch: int,
+                            window_frames: int, noise_std: float = 0.0):
+        """k per-step seeds -> ONE fused (k, B, W, D) gather.
+
+        The k-step dispatch-amortized trainer consumes stacked (k, B, ...)
+        chunks (train/step.make_multi_steps); building them as k separate
+        sample_windows calls + a device-side stack costs ~34 small
+        dispatches per chunk over this image's tunneled link. This fuses
+        the whole chunk into one index transfer + one gather program.
+        Window sampling still runs per seed on host, so at noise 0 the
+        result is bit-identical to stacking k sample_windows(seed_i)
+        calls (pinned by tests/test_device_store.py); with noise > 0 the
+        chunk draws from one PRNG stream (seeds[0]) instead of k — same
+        distribution, different draws."""
+        seq_rows = [native.sample_windows(self.lengths, window_frames,
+                                          s, batch) for s in seeds]
+        seq_idx = np.stack([si for si, _ in seq_rows])      # (k, B)
+        start = np.stack([st for _, st in seq_rows])
+        idx_dtype = (np.int32 if self.store.shape[0] < 2 ** 31
+                     else np.int64)
+        rows0 = jnp.asarray((self.offsets[seq_idx] + start)
+                            .astype(idx_dtype))
+        seq_dev = jnp.asarray(seq_idx.astype(np.int32))
+        key = jax.random.PRNGKey(int(seeds[0]) + 1)
         world = _gather_world(
             self.store, rows0, key, window_frames=window_frames,
             layout_items=tuple(sorted(self.layout.items())),

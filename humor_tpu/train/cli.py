@@ -75,7 +75,13 @@ def load_body_models(smplh_root: str) -> Optional[Dict]:
 
 
 def make_batch_fn(dataset, cfg, window_frames: int, steps: int, seed: int):
-    """-> train_batches(epoch) generator factory.
+    """-> train_batches(epoch) generator factory (see make_batch_fns)."""
+    return make_batch_fns(dataset, cfg, window_frames, steps, seed)[0]
+
+
+def make_batch_fns(dataset, cfg, window_frames: int, steps: int, seed: int):
+    """-> (train_batches(epoch), train_chunks(epoch, k) | None), sharing
+    one staged device store.
 
     Two data paths (identical values at noise_std=0, pinned by
     tests/test_device_store.py):
@@ -83,9 +89,14 @@ def make_batch_fn(dataset, cfg, window_frames: int, steps: int, seed: int):
         the packed store is staged once and each batch moves only the
         sampled window indices before an on-device gather+canonicalize
         (humor_tpu.data.device_store) — removes the per-batch bulk
-        transfer from the step loop entirely;
+        transfer from the step loop entirely. train_chunks additionally
+        fuses each k-step dispatch group into ONE gather program
+        (sample_window_chunk), replacing ~4k small dispatches per chunk
+        with one; per-step seeds match train_batches, so a chunk equals
+        the corresponding k batches stacked.
       * host gather + per-batch transfer + device canonicalization
-        (--data-on-device 0, or stores past the budget).
+        (--data-on-device 0, or stores past the budget); train_chunks
+        is None and the Trainer stacks per-batch items itself.
     """
     import jax
     import jax.numpy as jnp
@@ -136,7 +147,36 @@ def make_batch_fn(dataset, cfg, window_frames: int, steps: int, seed: int):
                 "gender_ids": jnp.asarray(meta["gender_ids"] % 2),
             }
 
-    return batches
+    if dev_store is None:
+        return batches, None
+
+    def _device_batch(s: int):
+        world, meta = dev_store.sample_windows(
+            s, cfg.batch_size, window_frames,
+            noise_std=cfg.data_noise_std)
+        data_in, data_out, _ = to_pairs(world)
+        return {"data_in": data_in, "data_out": data_out,
+                "betas": meta["betas"], "gender_ids": meta["gender_ids"]}
+
+    def chunks(epoch: int, k: int):
+        i = 0
+        while i < steps:
+            n = min(k, steps - i)
+            seeds = [seed + epoch * 100003 + i + j for j in range(n)]
+            if n == k:
+                world, meta = dev_store.sample_window_chunk(
+                    seeds, cfg.batch_size, window_frames,
+                    noise_std=cfg.data_noise_std)
+                data_in, data_out, _ = to_pairs(world)
+                yield ({"data_in": data_in, "data_out": data_out,
+                        "betas": meta["betas"],
+                        "gender_ids": meta["gender_ids"]}, k)
+            else:
+                for s in seeds:
+                    yield (_device_batch(s), 1)
+            i += n
+
+    return batches, chunks
 
 
 def main(argv=None) -> Dict[str, float]:
@@ -192,10 +232,12 @@ def main(argv=None) -> Dict[str, float]:
     smpl_models = load_body_models(cfg.smplh_root) \
         if cfg.use_smpl_losses or cfg.model_use_smpl_joint_inputs else None
 
+    train_batches, train_chunks = make_batch_fns(
+        train_ds, cfg, window, cfg.steps_per_epoch, cfg.seed)
     trainer = Trainer(
         model_cfg, loss_cfg, run_cfg,
-        train_batches=make_batch_fn(train_ds, cfg, window,
-                                    cfg.steps_per_epoch, cfg.seed),
+        train_batches=train_batches,
+        train_chunks=train_chunks,
         val_batches=make_batch_fn(val_ds, cfg, window,
                                   max(1, cfg.steps_per_epoch // 10),
                                   cfg.seed + 7),

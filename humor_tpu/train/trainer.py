@@ -55,9 +55,11 @@ class TrainRunConfig:
     # granularity coarsens to one tracker update per k steps. 0 = auto
     # (the measured amortization knee, RESULTS.md "Training throughput").
     steps_per_dispatch: int = 0
-    # host batches pre-gathered ahead of the device by a daemon thread
-    # (the reference uses torch DataLoader workers for the same overlap,
-    # train_humor.py:130-141); 0 disables the thread
+    # items pre-gathered ahead of the device by a daemon thread (the
+    # reference uses torch DataLoader workers for the same overlap,
+    # train_humor.py:130-141); at k > 1 one item is a whole stacked
+    # k-step chunk, so the buffer holds depth*k batches; 0 disables the
+    # thread
     prefetch_depth: int = 2
 
 
@@ -120,13 +122,24 @@ class Trainer:
                  val_batches: Optional[Callable[[int], Iterable[Dict]]] = None,
                  steps_per_epoch: int = 1,
                  smpl_models: Optional[Dict] = None,
-                 seed: int = 0):
+                 seed: int = 0,
+                 train_chunks: Optional[Callable[[int, int],
+                                                 Iterable]] = None):
         """train_batches(epoch) yields batches (typed dicts, see
-        humor_tpu.train.step)."""
+        humor_tpu.train.step).
+
+        train_chunks(epoch, k), when given, replaces the k-step source:
+        it yields (payload, n) where n == k means payload is already a
+        stacked (k, B, ...) chunk (e.g. the device store's fused chunk
+        gather, data/device_store.py sample_window_chunk) and n == 1
+        means a single batch (remainder). Values must match k
+        train_batches items stacked (parity pinned by
+        tests/test_device_store.py)."""
         self.model_cfg = model_cfg
         self.loss_cfg = loss_cfg
         self.run_cfg = run_cfg
         self.train_batches = train_batches
+        self.train_chunks = train_chunks
         self.val_batches = val_batches
         self.smpl_models = smpl_models
 
@@ -179,18 +192,33 @@ class Trainer:
         rc = self.run_cfg
         use_gt_p = TS.sched_samp_prob(epoch, rc.sched_samp_start,
                                       rc.sched_samp_end)
-        it = iter(self.train_batches(epoch))
-        if rc.prefetch_depth > 0:
-            it = _prefetch(it, rc.prefetch_depth)
         k = self.k
+
+        def _stack_source():
+            # group the per-batch generator into (stacked chunk, k) /
+            # (single batch, 1) items; running inside the prefetch
+            # thread overlaps the device-side stack with compute
+            it = iter(self.train_batches(epoch))
+            while True:
+                chunk = list(itertools.islice(it, k))
+                if not chunk:
+                    return
+                if len(chunk) == k and k > 1:
+                    yield TS.stack_batches(chunk), k
+                else:
+                    for b in chunk:
+                        yield b, 1
+
+        src = (self.train_chunks(epoch, k)
+               if k > 1 and self.train_chunks is not None
+               else _stack_source())
+        if rc.prefetch_depth > 0:
+            src = _prefetch(src, rc.prefetch_depth)
         i = 0
         chunks = 0
-        while True:
-            chunk = list(itertools.islice(it, k))
-            if not chunk:
-                break
-            if len(chunk) == k and k > 1:
-                stacked = TS.stack_batches(chunk)
+        for payload, n in src:
+            if n == k and k > 1:
+                stacked = payload
                 if self.mesh is not None:
                     stacked = shard_batch(self.mesh, stacked,
                                           batch_axis_index=1)
@@ -205,19 +233,19 @@ class Trainer:
                 # the same weight in epoch averages as a solo step
                 tracker.update(stats, n=k, global_step=int(self.state.step))
             else:
-                for batch in chunk:
-                    if self.mesh is not None:
-                        batch = shard_batch(self.mesh, batch)
-                    if use_gt_p >= 1.0:
-                        self.state, stats = self.sup_step(
-                            self.state, batch, self._next_key(), epoch)
-                    else:
-                        self.state, stats = self.ss_step(
-                            self.state, batch, self._next_key(), epoch,
-                            use_gt_p)
-                    tracker.update(stats,
-                                   global_step=int(self.state.step))
-            i += len(chunk)
+                batch = payload
+                if self.mesh is not None:
+                    batch = shard_batch(self.mesh, batch)
+                if use_gt_p >= 1.0:
+                    self.state, stats = self.sup_step(
+                        self.state, batch, self._next_key(), epoch)
+                else:
+                    self.state, stats = self.ss_step(
+                        self.state, batch, self._next_key(), epoch,
+                        use_gt_p)
+                tracker.update(stats,
+                               global_step=int(self.state.step))
+            i += n
             chunks += 1
             if chunks % rc.print_every == 0:
                 n = max(self.steps_per_epoch, i)

@@ -114,3 +114,78 @@ def test_train_cli_batch_fn_device_path(dataset):
         smpl_joint_consistency_loss=0.0), opt, None)
     state, stats = sup(state, dev[0], jax.random.PRNGKey(1), 0)
     assert np.isfinite(float(stats["total_loss"]))
+
+
+def test_chunk_gather_matches_stacked_batches(staged):
+    """The fused (k, B) chunk gather equals k per-batch gathers stacked,
+    bit-exactly at noise 0 (same host-sampled windows per seed)."""
+    seeds = [11, 12, 13]
+    world_c, meta_c = staged.sample_window_chunk(seeds, 5, 11)
+    for j, s in enumerate(seeds):
+        world_b, meta_b = staged.sample_windows(s, 5, 11)
+        for k in world_b:
+            np.testing.assert_array_equal(np.asarray(world_c[k])[j],
+                                          np.asarray(world_b[k]))
+        np.testing.assert_array_equal(np.asarray(meta_c["betas"])[j],
+                                      np.asarray(meta_b["betas"]))
+        np.testing.assert_array_equal(np.asarray(meta_c["gender_ids"])[j],
+                                      np.asarray(meta_b["gender_ids"]))
+
+
+def test_train_chunk_fn_matches_stacked_batch_fn(dataset):
+    """make_batch_fns' chunk generator == Trainer-style stack_batches of
+    the per-batch generator (full chunks AND the remainder singles)."""
+    from types import SimpleNamespace
+
+    from humor_tpu.train import step as TS
+    from humor_tpu.train.cli import make_batch_fns
+
+    cfg = SimpleNamespace(batch_size=4, data_noise_std=0.0,
+                          model_steps_in=1, data_on_device=1)
+    batches, chunks = make_batch_fns(dataset, cfg, 11, 5, seed=3)
+    assert chunks is not None
+    got = list(chunks(0, k=2))
+    ref_batches = list(batches(0))
+    assert [n for _, n in got] == [2, 2, 1]
+    for ci, (payload, n) in enumerate(got):
+        if n == 2:
+            want = TS.stack_batches(ref_batches[ci * 2: ci * 2 + 2])
+        else:
+            want = ref_batches[4]
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)), payload, want)
+
+
+def test_trainer_chunk_source_parity(dataset, tmp_path):
+    """A Trainer fed the fused chunk source reaches bit-identical params
+    to one stacking per-batch items itself (same k, same seeds)."""
+    from types import SimpleNamespace
+
+    from humor_tpu.losses.elbo import LossConfig
+    from humor_tpu.models import humor as H
+    from humor_tpu.train.cli import make_batch_fns
+    from humor_tpu.train.trainer import TrainRunConfig, Trainer
+
+    cfg = SimpleNamespace(batch_size=4, data_noise_std=0.0,
+                          model_steps_in=1, data_on_device=1)
+    mcfg = H.HumorConfig()
+    lcfg = LossConfig(smpl_joint_loss=0.0, smpl_mesh_loss=0.0,
+                      smpl_joint_consistency_loss=0.0)
+
+    def fit(use_chunks, out):
+        batches, chunks = make_batch_fns(dataset, cfg, 11, 5, seed=3)
+        rc = TrainRunConfig(out_dir=str(tmp_path / out), epochs=2,
+                            val_every=10, save_every=10,
+                            steps_per_dispatch=2, use_mesh=False)
+        tr = Trainer(mcfg, lcfg, rc, train_batches=batches,
+                     train_chunks=chunks if use_chunks else None,
+                     steps_per_epoch=5, seed=0)
+        tr.fit()
+        return tr.state.params
+
+    p_chunk = fit(True, "chunk")
+    p_stack = fit(False, "stack")
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)), p_chunk, p_stack)
