@@ -74,12 +74,15 @@ def load_body_models(smplh_root: str) -> Optional[Dict]:
     }
 
 
-def make_batch_fn(dataset, cfg, window_frames: int, steps: int, seed: int):
+def make_batch_fn(dataset, cfg, window_frames: int, steps: int, seed: int,
+                  budget_bytes: Optional[int] = None):
     """-> train_batches(epoch) generator factory (see make_batch_fns)."""
-    return make_batch_fns(dataset, cfg, window_frames, steps, seed)[0]
+    return make_batch_fns(dataset, cfg, window_frames, steps, seed,
+                          budget_bytes=budget_bytes)[0]
 
 
-def make_batch_fns(dataset, cfg, window_frames: int, steps: int, seed: int):
+def make_batch_fns(dataset, cfg, window_frames: int, steps: int, seed: int,
+                   budget_bytes: Optional[int] = None):
     """-> (train_batches(epoch), train_chunks(epoch, k) | None), sharing
     one staged device store.
 
@@ -103,7 +106,7 @@ def make_batch_fns(dataset, cfg, window_frames: int, steps: int, seed: int):
 
     from functools import partial
 
-    from humor_tpu.data.device_store import maybe_stage
+    from humor_tpu.data.device_store import DEFAULT_BUDGET_BYTES, maybe_stage
     from humor_tpu.data.windows import window_to_pairs, window_to_pairs_multi
 
     steps_in = getattr(cfg, "model_steps_in", 1)
@@ -116,7 +119,10 @@ def make_batch_fns(dataset, cfg, window_frames: int, steps: int, seed: int):
             "pose_body", "joints", "joints_vel", "contacts")
     dev_store = maybe_stage(dataset,
                             getattr(cfg, "data_on_device", -1),
-                            columns=keep)
+                            columns=keep,
+                            budget_bytes=(DEFAULT_BUDGET_BYTES
+                                          if budget_bytes is None
+                                          else budget_bytes))
 
     def batches(epoch: int):
         for i in range(steps):
@@ -234,13 +240,22 @@ def main(argv=None) -> Dict[str, float]:
 
     train_batches, train_chunks = make_batch_fns(
         train_ds, cfg, window, cfg.steps_per_epoch, cfg.seed)
+    # the train and val stores share one HBM budget: the val store only
+    # auto-stages into what the train store left (forcing with
+    # --data-on-device 1 still stages both)
+    from humor_tpu.data.device_store import (DEFAULT_BUDGET_BYTES,
+                                             DeviceWindowStore)
+    used = (DeviceWindowStore.staged_nbytes(train_ds)
+            if train_chunks is not None else 0)
     trainer = Trainer(
         model_cfg, loss_cfg, run_cfg,
         train_batches=train_batches,
         train_chunks=train_chunks,
         val_batches=make_batch_fn(val_ds, cfg, window,
                                   max(1, cfg.steps_per_epoch // 10),
-                                  cfg.seed + 7),
+                                  cfg.seed + 7,
+                                  budget_bytes=max(
+                                      0, DEFAULT_BUDGET_BYTES - used)),
         steps_per_epoch=cfg.steps_per_epoch,
         smpl_models=smpl_models, seed=cfg.seed)
     return trainer.fit()

@@ -157,6 +157,22 @@ def test_train_chunk_fn_matches_stacked_batch_fn(dataset):
                 np.asarray(a), np.asarray(b)), payload, want)
 
 
+def test_batch_fns_budget_passthrough(dataset):
+    """A zero remaining budget forces the host path in auto mode (the
+    CLI gives the val store only what the train store left)."""
+    from types import SimpleNamespace
+
+    from humor_tpu.train.cli import make_batch_fns
+
+    cfg = SimpleNamespace(batch_size=2, data_noise_std=0.0,
+                          model_steps_in=1, data_on_device=-1)
+    _, chunks = make_batch_fns(dataset, cfg, 11, 1, seed=0,
+                               budget_bytes=0)
+    assert chunks is None
+    _, chunks = make_batch_fns(dataset, cfg, 11, 1, seed=0)
+    assert chunks is not None
+
+
 def test_trainer_chunk_source_parity(dataset, tmp_path):
     """A Trainer fed the fused chunk source reaches bit-identical params
     to one stacking per-batch items itself (same k, same seeds)."""
