@@ -157,6 +157,32 @@ def test_train_chunk_fn_matches_stacked_batch_fn(dataset):
                 np.asarray(a), np.asarray(b)), payload, want)
 
 
+def test_trainer_chunk_source_under_mesh(dataset, tmp_path):
+    """The fused chunk source composes with DP sharding: the staged
+    store lives on one device and shard_batch reshards each (k, B, ...)
+    chunk across the mesh (batch axis 1)."""
+    from types import SimpleNamespace
+
+    from humor_tpu.losses.elbo import LossConfig
+    from humor_tpu.models import humor as H
+    from humor_tpu.train.cli import make_batch_fns
+    from humor_tpu.train.trainer import TrainRunConfig, Trainer
+
+    cfg = SimpleNamespace(batch_size=8, data_noise_std=0.0,
+                          model_steps_in=1, data_on_device=1)
+    batches, chunks = make_batch_fns(dataset, cfg, 11, 4, seed=3)
+    rc = TrainRunConfig(out_dir=str(tmp_path / "mesh"), epochs=1,
+                        val_every=10, save_every=10,
+                        steps_per_dispatch=2, use_mesh=True)
+    tr = Trainer(H.HumorConfig(),
+                 LossConfig(smpl_joint_loss=0.0, smpl_mesh_loss=0.0,
+                            smpl_joint_consistency_loss=0.0),
+                 rc, train_batches=batches, train_chunks=chunks,
+                 steps_per_epoch=4, seed=0)
+    out = tr.fit()
+    assert np.isfinite(out["min_train_loss"])
+
+
 def test_batch_fns_budget_passthrough(dataset):
     """A zero remaining budget forces the host path in auto mode (the
     CLI gives the val store only what the train store left)."""
