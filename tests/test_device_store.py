@@ -217,8 +217,11 @@ def test_trainer_chunk_source_parity(dataset, tmp_path):
 
     def fit(use_chunks, out):
         batches, chunks = make_batch_fns(dataset, cfg, 11, 5, seed=3)
+        # epoch 0 supervised (gt_p=1), epoch 1 scheduled sampling
+        # (gt_p=0.5) — both multi-step programs consume the chunk source
         rc = TrainRunConfig(out_dir=str(tmp_path / out), epochs=2,
                             val_every=10, save_every=10,
+                            sched_samp_start=1, sched_samp_end=3,
                             steps_per_dispatch=2, use_mesh=False)
         tr = Trainer(mcfg, lcfg, rc, train_batches=batches,
                      train_chunks=chunks if use_chunks else None,
