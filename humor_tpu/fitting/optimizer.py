@@ -865,6 +865,16 @@ def make_runner(cfg: TTOConfig, models: TTOModels, mesh=None,
 
     fused_run = jax.jit(_pipeline)
 
+    def _init_body(observed):
+        # One program instead of eager per-op dispatch: the RGB depth
+        # init (_init_z_from_bones: VPoser decode + joints-only LBS +
+        # bone-ratio algebra) costs ~0.6 s/fit as ~30 eager dispatches
+        # over this image's tunneled link, ~nothing fused.
+        return init_variables(cfg, models, batch_size_of(observed),
+                              observed)
+
+    init_step = jax.jit(_init_body)
+
     def _shard(tree, batch_axis=True):
         if mesh is None:
             return tree
@@ -888,7 +898,6 @@ def make_runner(cfg: TTOConfig, models: TTOModels, mesh=None,
                 _marks.append((label, _time.perf_counter()))
 
         _mark("start", observed)
-        B = batch_size_of(observed)
         if mesh is not None:
             # window batch shards over devices; cross-batch carries are
             # replicated (they have no batch dim)
@@ -901,7 +910,7 @@ def make_runner(cfg: TTOConfig, models: TTOModels, mesh=None,
         if fuse and not _timing:
             return fused_run(observed)
 
-        variables = _shard(init_variables(cfg, models, B, observed))
+        variables = _shard(init_step(observed))
         per_stage: Dict[str, Dict] = {}
         losses: Dict[str, jnp.ndarray] = {}
 
