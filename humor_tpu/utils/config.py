@@ -315,3 +315,26 @@ class FitCLIConfig:
         return tuple(
             StageWeights(**{k: w(v, i) for k, v in mapping.items()})
             for i in range(NSTAGES))
+
+
+@dataclass
+class VizCLIConfig:
+    """Flags for the fit-result visualization CLI
+    (`python -m humor_tpu.viz.fitting`), mirroring the reference's
+    viz_fitting_rgb.py parser (:49-87)."""
+
+    # fitting output dir (the fit CLI's --out): holds final_results/ and
+    # per-window <seq>/ result dirs
+    results: str = ""
+    out: str = "./out/humor_viz"
+    # dir of the source video frames (sorted); blank canvas when absent
+    frames: str = ""
+    intrinsics: str = ""       # json [[fx,0,cx],[0,fy,cy],[0,0,1]]
+    smplh_root: str = "./body_models/smplh"
+    viz_final_only: bool = False   # skip the per-window sub-sequences
+    viz_prior_frame: bool = False  # also render *_results_prior.npz
+    viz_obs_2d: bool = False       # overlay observed OpenPose keypoints
+    viz_no_mesh: bool = False      # skeleton overlays only
+    max_frames: int = 120
+    render_width: int = 1920
+    render_height: int = 1080

@@ -87,7 +87,9 @@ def viz_stitched_result(stitched_npz: str, out_dir: str,
                         cam_center=(960.0, 540.0),
                         max_frames: int = 120,
                         img_paths: Optional[Sequence[str]] = None,
-                        mesh: bool = True) -> List[str]:
+                        mesh: bool = True,
+                        joints2d_obs: Optional[np.ndarray] = None,
+                        img_size: tuple = (1920, 1080)) -> List[str]:
     """Load a stitched fitting result and render it over the video frames.
 
     With a body model the fitted MESH is rasterized (shaded, floor
@@ -102,11 +104,16 @@ def viz_stitched_result(stitched_npz: str, out_dir: str,
     if body is not None:
         from humor_tpu.fitting.optimizer import smpl_results
 
+        betas = np.asarray(data["betas"])
+        if betas.ndim == 2:
+            # stitched results carry per-frame betas (window-constant,
+            # reference prep_res expansion); skin with the first frame's
+            betas = betas[0]
         pred = smpl_results(
             body, jnp.asarray(data["trans"][None, :T]),
             jnp.asarray(data["root_orient"][None, :T]),
             jnp.asarray(data["pose_body"][None, :T]),
-            jnp.asarray(data["betas"][None]))
+            jnp.asarray(betas[None]))
         joints = np.asarray(pred["joints3d"][0])
         if mesh and body.faces is not None and "points3d" in pred:
             from humor_tpu.viz.raster import render_mesh_over_frames
@@ -125,12 +132,119 @@ def viz_stitched_result(stitched_npz: str, out_dir: str,
             paths += render_mesh_over_frames(
                 verts, np.asarray(body.faces.arr), cam_f, cam_center,
                 os.path.join(out_dir, "mesh"), img_paths=img_paths,
-                floor_plane=floor,
+                img_size=img_size, floor_plane=floor,
                 contact_verts=contact_verts)
     elif "joints3d_rollout" in data:
         joints = np.asarray(data["joints3d_rollout"][:T])
     else:
         raise ValueError("need a body model or stored rollout joints")
+    if joints2d_obs is not None:
+        joints2d_obs = np.asarray(joints2d_obs)[:T]
     paths += overlay_skeleton_frames(joints, cam_f, cam_center, out_dir,
-                                     img_paths=img_paths)
+                                     img_paths=img_paths,
+                                     img_size=img_size,
+                                     joints2d_obs=joints2d_obs)
     return paths
+
+
+def _frame_paths(frames_dir: str) -> Optional[List[str]]:
+    if not frames_dir or not os.path.isdir(frames_dir):
+        return None
+    exts = (".png", ".jpg", ".jpeg")
+    return sorted(os.path.join(frames_dir, f)
+                  for f in os.listdir(frames_dir)
+                  if f.lower().endswith(exts))
+
+
+def _obs_joints2d(seq_dir: str) -> Optional[np.ndarray]:
+    p = os.path.join(seq_dir, "observations.npz")
+    if not os.path.exists(p):
+        return None
+    with np.load(p) as obs:
+        if "joints2d" not in obs:
+            return None
+        return np.asarray(obs["joints2d"])
+
+
+def main(argv=None) -> List[str]:
+    """Render fitting results over the source video (reference
+    viz_fitting_rgb.py main :90-466): the stitched final result, the
+    per-window sub-sequence results, and optionally the prior-frame
+    (HuMoR canonical) views and observed 2D keypoints."""
+    from humor_tpu.body_model import smpl as S
+    from humor_tpu.utils.config import VizCLIConfig, parse_into
+
+    cfg = parse_into(VizCLIConfig, argv, prog="humor-viz")
+    if not cfg.results or not os.path.isdir(cfg.results):
+        raise SystemExit(f"--results dir not found: {cfg.results!r}")
+    os.makedirs(cfg.out, exist_ok=True)
+
+    neutral = S.find_model_path(cfg.smplh_root, "neutral")
+    if os.path.exists(neutral):
+        body = S.load_smpl_npz(neutral, use_vtx_selector=True)
+    else:
+        print(f"[viz] no body model at {neutral!r}; using synthetic")
+        body = S.synthetic_smpl_model()
+
+    cam_f, cam_center = (1060.5, 1060.4), (960.0, 540.0)
+    if cfg.intrinsics:
+        import json
+
+        with open(cfg.intrinsics) as f:
+            m = np.asarray(json.load(f), np.float32)
+        cam_f, cam_center = (m[0, 0], m[1, 1]), (m[0, 2], m[1, 2])
+
+    img_paths = _frame_paths(cfg.frames)
+    img_size = (cfg.render_width, cfg.render_height)
+    mesh = not cfg.viz_no_mesh
+    written: List[str] = []
+
+    def render(npz_path: str, out_dir: str, frames, obs2d):
+        if not os.path.exists(npz_path):
+            return
+        print(f"[viz] {npz_path} -> {out_dir}")
+        written.extend(viz_stitched_result(
+            npz_path, out_dir, body=body, cam_f=cam_f,
+            cam_center=cam_center, max_frames=cfg.max_frames,
+            img_paths=frames, mesh=mesh, joints2d_obs=obs2d,
+            img_size=img_size))
+
+    fr = os.path.join(cfg.results, "final_results")
+    obs2d = _obs_joints2d(fr) if cfg.viz_obs_2d else None
+    render(os.path.join(fr, "stage3_results.npz"),
+           os.path.join(cfg.out, "final_results"), img_paths, obs2d)
+    if cfg.viz_prior_frame:
+        # canonical-frame view: no video frames behind it
+        render(os.path.join(fr, "stage3_results_prior.npz"),
+               os.path.join(cfg.out, "final_results_prior"), None, None)
+
+    if not cfg.viz_final_only:
+        for name in sorted(os.listdir(cfg.results)):
+            seq_dir = os.path.join(cfg.results, name)
+            npz = os.path.join(seq_dir, "final_results.npz")
+            if name == "final_results" or not os.path.exists(npz):
+                continue
+            frames = img_paths
+            if frames is not None:
+                # align this window with its source-frame interval
+                p = os.path.join(seq_dir, "observations.npz")
+                if os.path.exists(p):
+                    with np.load(p) as obs:
+                        if "seq_interval" in obs:
+                            s, e = (int(v) for v in obs["seq_interval"])
+                            frames = img_paths[s:e]
+            obs2d = _obs_joints2d(seq_dir) if cfg.viz_obs_2d else None
+            render(npz, os.path.join(cfg.out, name), frames, obs2d)
+            if cfg.viz_prior_frame:
+                render(os.path.join(seq_dir, "final_results_prior.npz"),
+                       os.path.join(cfg.out, f"{name}_prior"), None, None)
+
+    print(f"[viz] wrote {len(written)} frames under {cfg.out}")
+    return written
+
+
+if __name__ == "__main__":
+    from humor_tpu.utils.platform import setup_platform
+
+    setup_platform()
+    main()

@@ -109,6 +109,24 @@ def test_rgb_cli_end_to_end(rgb_layout, tmp_path):
     csvs = [f for f in os.listdir(eval_out) if f.endswith(".csv")]
     assert csvs, os.listdir(eval_out)
 
+    # the viz CLI consumes the same directory: stitched + per-window
+    # overlays (+ prior-frame views, observed 2D keypoints)
+    from humor_tpu.viz import fitting as VF
+
+    viz_out = str(tmp_path / "fit_viz")
+    written = VF.main(["--results", out, "--out", viz_out,
+                       "--intrinsics", intr,
+                       "--smplh-root", str(tmp_path / "nonexistent"),
+                       "--viz-prior-frame", "--viz-obs-2d",
+                       "--max-frames", "3",
+                       "--render-width", "640", "--render-height", "480"])
+    assert written and all(os.path.exists(p) for p in written)
+    assert os.path.isdir(os.path.join(viz_out, "final_results"))
+    assert os.path.isdir(os.path.join(viz_out, "final_results_prior"))
+    assert os.path.isdir(os.path.join(viz_out, "seq_000"))
+    # mesh renders happen alongside the skeleton overlays
+    assert os.path.isdir(os.path.join(viz_out, "final_results", "mesh"))
+
 
 def test_amass_cli_end_to_end(tmp_path):
     from humor_tpu.eval import fitting_cli as FE
