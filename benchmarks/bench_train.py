@@ -29,6 +29,10 @@ def main():
     ap.add_argument("--no-smpl-losses", action="store_true",
                     help="disable the gendered SMPL joint/mesh losses "
                          "(isolates the CVAE+ELBO cost)")
+    ap.add_argument("--smpl-dtype", default="",
+                    help="loss-body per-vertex LBS dtype: 'bfloat16' "
+                         "casts the skinning pipeline (joints stay f32; "
+                         "LossConfig.smpl_loss_dtype)")
     ap.add_argument("--steps-per-dispatch", type=int, default=1,
                     help="k>1 scans k steps over stacked batches in one "
                          "device program (train/step.make_multi_steps), "
@@ -72,7 +76,7 @@ def main():
                           smpl_joint_consistency_loss=0.0)
         smpl_models = None
     else:
-        lcfg = LossConfig()
+        lcfg = LossConfig(smpl_loss_dtype=args.smpl_dtype)
         smpl_models = {"male": model, "female": model}
     sup, ss, _ = TS.make_train_steps(cfg, lcfg, opt, smpl_models)
     k = args.steps_per_dispatch
@@ -126,6 +130,7 @@ def main():
         "value": round(dt * 1000.0, 2),
         "unit": "ms",
         "dtype": args.dtype or "float32",
+        "smpl_dtype": args.smpl_dtype or "float32",
         "transitions_per_s": round(args.batch * T / dt),
     }))
 

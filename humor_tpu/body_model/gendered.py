@@ -57,17 +57,19 @@ def gendered_forward(
     trans: jnp.ndarray,
     pose_hand: Optional[jnp.ndarray] = None,
     order: Tuple[str, ...] = ("male", "female"),
+    compute_dtype=None,
 ) -> SmplOutput:
     """Run SMPL for a batch with per-sample gender.
 
     `models` maps gender name -> SmplModel. Only genders in `order` are
     evaluated (training uses male/female; neutral appears in fitting).
-    """
+    compute_dtype: see smpl.lbs (bf16 per-vertex pipeline for loss
+    bodies; joints stay exact f32)."""
     v = None
     j = None
     for gid, name in enumerate(order):
         out = forward(models[name], root_orient, pose_body, betas, trans,
-                      pose_hand)
+                      pose_hand, compute_dtype=compute_dtype)
         sel = (gender_ids == gid)[:, None, None]
         v = out.v if v is None else jnp.where(sel, out.v, v)
         j = out.Jtr if j is None else jnp.where(sel, out.Jtr, j)

@@ -258,6 +258,7 @@ def lbs(model: SmplModel,
         rot_mats: jnp.ndarray,     # (B, J, 3, 3) full per-joint rotations
         trans: jnp.ndarray,        # (B, 3)
         vert_ids: Optional[np.ndarray] = None,
+        compute_dtype=None,
         ) -> SmplOutput:
     """Core skinning forward from per-joint rotation matrices.
 
@@ -267,6 +268,14 @@ def lbs(model: SmplModel,
     vertex blend (pose blendshapes + skinning, the TTO hot path at
     V=6890) shrinks to |vert_ids|. Extra vertex joints (vtx_joint_ids)
     are appended to `vert_ids` automatically so Jtr keeps its layout.
+
+    compute_dtype: when jnp.bfloat16, the PER-VERTEX pipeline (pose
+    blendshapes + skinning blends — the FLOPs/bandwidth bulk at V=6890)
+    runs in bf16 with f32 outputs; the shape blendshapes, rest-joint
+    regression, and kinematic chain stay f32 so JOINTS are exact. Meant
+    for training-LOSS bodies (vertex error ~1e-3 m, harmless in a loss
+    gradient — see tests/test_body_model.py bf16 bound); geometry/TTO
+    paths must keep the f32 default (module-header war story).
     """
     # shape blendshapes (always full: rest joints regress from all verts)
     v_shaped = model.v_template + jnp.einsum(
@@ -295,16 +304,31 @@ def lbs(model: SmplModel,
     # pose blendshapes from non-root rotations
     eye = jnp.eye(3, dtype=rot_mats.dtype)
     pose_feat = (rot_mats[:, 1:] - eye).reshape(B, -1)  # (B, 9*(J-1))
-    v_posed = v_shaped_s + jnp.matmul(
-        pose_feat, posedirs_s, precision=_HI).reshape(B, -1, 3)
 
     posed_joints, Rw, t_rel = _rigid_transform_chain(
         rot_mats, rest_joints, model.parents)
 
+    if compute_dtype is not None:
+        cd = compute_dtype
+        pose_feat, posedirs_s, v_shaped_s = (
+            pose_feat.astype(cd), posedirs_s.astype(cd),
+            v_shaped_s.astype(cd))
+        weights_b, Rw_b, t_rel_b = (weights_s.astype(cd), Rw.astype(cd),
+                                    t_rel.astype(cd))
+        prec = None
+    else:
+        weights_b, Rw_b, t_rel_b = weights_s, Rw, t_rel
+        prec = _HI
+
+    v_posed = v_shaped_s + jnp.matmul(
+        pose_feat, posedirs_s, precision=prec).reshape(B, -1, 3)
+
     # skinning: per-vertex blended rotation+translation
-    R_v = jnp.einsum("vj,bjik->bvik", weights_s, Rw, precision=_HI)
-    t_v = jnp.einsum("vj,bji->bvi", weights_s, t_rel, precision=_HI)
-    v_out = jnp.einsum("bvik,bvk->bvi", R_v, v_posed, precision=_HI) + t_v
+    R_v = jnp.einsum("vj,bjik->bvik", weights_b, Rw_b, precision=prec)
+    t_v = jnp.einsum("vj,bji->bvi", weights_b, t_rel_b, precision=prec)
+    v_out = jnp.einsum("bvik,bvk->bvi", R_v, v_posed, precision=prec) + t_v
+    if compute_dtype is not None:
+        v_out = v_out.astype(betas.dtype)
 
     v_out = v_out + trans[:, None, :]
     joints_out = posed_joints + trans[:, None, :]
@@ -341,10 +365,12 @@ def forward(model: SmplModel,
             trans: jnp.ndarray,                  # (B, 3)
             pose_hand: Optional[jnp.ndarray] = None,  # (B, 30*3) aa
             vert_ids: Optional[np.ndarray] = None,
+            compute_dtype=None,
             ) -> SmplOutput:
     """User-facing forward matching the reference BodyModel call signature
     (body_model.py:72-115): body joints only by default, hands flat when
-    pose_hand is None (flat_hand_mean=True semantics)."""
+    pose_hand is None (flat_hand_mean=True semantics).
+    compute_dtype: see `lbs` (bf16 per-vertex pipeline for loss bodies)."""
     B = betas.shape[0]
     J = model.num_joints
     n_body = min(C.NUM_BODY_JOINTS, J - 1)
@@ -370,7 +396,8 @@ def forward(model: SmplModel,
                 jnp.eye(3, dtype=betas.dtype), (B, n_rest, 3, 3))
         mats.append(hand_mat)
     rot_mats = jnp.concatenate(mats, axis=1)
-    return lbs(model, betas, rot_mats, trans, vert_ids=vert_ids)
+    return lbs(model, betas, rot_mats, trans, vert_ids=vert_ids,
+               compute_dtype=compute_dtype)
 
 
 def find_model_path(base: str, gender: str) -> str:

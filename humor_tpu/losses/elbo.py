@@ -58,6 +58,17 @@ class LossConfig:
     smpl_joint_consistency_loss: float = 1.0
     smpl_vert_consistency_loss: float = 0.0
 
+    # "bfloat16" runs the loss bodies' per-vertex LBS pipeline in bf16
+    # (joints stay exact f32 — smpl.lbs compute_dtype); "" = full f32.
+    # The mesh term's vertex error at bf16 is ~1e-3 m (test-pinned),
+    # noise relative to the loss gradient; measured step win in
+    # RESULTS.md "Training throughput".
+    smpl_loss_dtype: str = ""
+
+    @property
+    def smpl_compute_dtype(self):
+        return jnp.bfloat16 if self.smpl_loss_dtype == "bfloat16" else None
+
     @property
     def regr_weights(self) -> Dict[str, float]:
         return {
@@ -192,10 +203,13 @@ def elbo_loss(
             gt["pose_body"].reshape(N, C.NUM_BODY_JOINTS, 3, 3)
         ).reshape(N, -1)
 
+        cd = cfg.smpl_compute_dtype
         pred_body = gendered_forward(smpl_models, gender_ids, p_orient,
-                                     p_pose, betas, pred["trans"])
+                                     p_pose, betas, pred["trans"],
+                                     compute_dtype=cd)
         gt_body = gendered_forward(smpl_models, gender_ids, g_orient,
-                                   g_pose, betas, gt["trans"])
+                                   g_pose, betas, gt["trans"],
+                                   compute_dtype=cd)
         pj = pred_body.Jtr[:, :C.NUM_SMPL_JOINTS]
         gj = gt_body.Jtr[:, :C.NUM_SMPL_JOINTS]
 

@@ -117,3 +117,58 @@ class TestGendered:
                                    np.asarray(out_f.v[1]), atol=1e-6)
         np.testing.assert_allclose(np.asarray(out.Jtr[3]),
                                    np.asarray(out_f.Jtr[3]), atol=1e-6)
+
+
+class TestBf16LossPipeline:
+    """smpl.lbs compute_dtype=bf16: per-vertex blend in bf16 for the
+    training-loss bodies; the joint path stays exact f32."""
+
+    def _inputs(self, B=8):
+        key = jax.random.PRNGKey(7)
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        return (0.3 * jax.random.normal(k1, (B, 3)),
+                0.3 * jax.random.normal(k2, (B, 63)),
+                0.5 * jax.random.normal(k3, (B, 16)),
+                jax.random.normal(k4, (B, 3)))
+
+    def test_joints_exact_verts_bounded(self):
+        ro, pose, betas, trans = self._inputs()
+        f32 = forward(MODEL, ro, pose, betas, trans)
+        b16 = forward(MODEL, ro, pose, betas, trans,
+                      compute_dtype=jnp.bfloat16)
+        # body joints come from the f32 kinematic chain: bit-identical
+        nj = 22
+        np.testing.assert_array_equal(np.asarray(b16.Jtr[:, :nj]),
+                                      np.asarray(f32.Jtr[:, :nj]))
+        # vertex error is bf16 rounding of ~O(1 m) geometry
+        err = np.abs(np.asarray(b16.v) - np.asarray(f32.v)).max()
+        assert err < 2e-2, err
+        assert np.asarray(b16.v).dtype == np.float32
+
+    def test_mesh_loss_grads_finite_and_close(self):
+        ro, pose, betas, trans = self._inputs(4)
+        target = forward(MODEL, ro, pose, betas, trans).v
+
+        def loss(p, cd):
+            out = forward(MODEL, ro, p, betas, trans, compute_dtype=cd)
+            return jnp.mean((out.v - target) ** 2)
+
+        at = pose + 0.05   # away from the minimum so g32 != 0
+        g32 = np.asarray(jax.grad(lambda p: loss(p, None))(at))
+        g16 = np.asarray(jax.grad(
+            lambda p: loss(p, jnp.bfloat16))(at))
+        assert np.isfinite(g16).all()
+        denom = np.abs(g32).max()
+        assert np.abs(g16 - g32).max() < 0.05 * denom + 1e-6
+
+    def test_gendered_threads_dtype(self):
+        ro, pose, betas, trans = self._inputs(4)
+        models = {"male": MODEL, "female": MODEL}
+        gid = jnp.asarray([0, 1, 0, 1], jnp.int32)
+        out32 = gendered_forward(models, gid, ro, pose, betas, trans)
+        out16 = gendered_forward(models, gid, ro, pose, betas, trans,
+                                 compute_dtype=jnp.bfloat16)
+        np.testing.assert_array_equal(np.asarray(out16.Jtr[:, :22]),
+                                      np.asarray(out32.Jtr[:, :22]))
+        assert np.abs(np.asarray(out16.v)
+                      - np.asarray(out32.v)).max() < 2e-2
