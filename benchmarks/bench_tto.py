@@ -47,7 +47,9 @@ def bench_ours(quick=False, batch=B, scale=KNEE_SCALE, modality="joints3d"):
       'joints3d' — noisy 3D joints (fit_amass_joints.cfg workload);
       'rgb' — 2D OpenPose keypoints + floor-plane optimization +
         cam2prior + overlap consistency (the i3DB/PROX RGB-video
-        workload BASELINE.md names as the driver metric)."""
+        workload BASELINE.md names as the driver metric);
+      'keypts' — noisy, partially occluded 43-keypoint mesh vertices
+        (the fit_amass_keypts.cfg workload, BASELINE.md config #4)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -90,6 +92,23 @@ def bench_ours(quick=False, batch=B, scale=KNEE_SCALE, modality="joints3d"):
         gt = O.smpl_results(models.body, trans, ro, pose,
                             jnp.zeros((batch, 16)), verts="none")
         return {"joints3d": gt["joints3d"]}
+
+    def make_obs_keypts(seed):
+        """Noisy 43-keypoint mesh vertices with a synthetic-occlusion
+        inf mask — the fit_amass_keypts.cfg partial-keypoint workload
+        (BASELINE.md config #4; reference amass_fit_dataset.py:97-142
+        make_partial)."""
+        rng, trans, ro, pose = make_body(seed)
+        gt = O.smpl_results(models.body, trans, ro, pose,
+                            jnp.zeros((batch, 16)), verts="keypt")
+        v = np.asarray(gt["verts3d"])
+        v = v + rng.randn(*v.shape).astype(np.float32) * 0.02
+        # occlude ~40% of keypoints by height (the synthetic body's
+        # scale is arbitrary, so threshold at the GT's own quantile
+        # instead of the reference's fixed 0.9 m)
+        thresh = np.quantile(v[..., 2], 0.6)
+        v = np.where(v[..., 2:3] > thresh, np.inf, v)
+        return {"verts3d": jnp.asarray(v.astype(np.float32))}
 
     n_out = body.num_joints + body.vtx_joint_ids.size
     smpl2op = tuple(int(i % n_out) for i in range(C.OP_NUM_JOINTS))
@@ -146,6 +165,22 @@ def bench_ours(quick=False, batch=B, scale=KNEE_SCALE, modality="joints3d"):
                           stage3_freeze_start=min(30 * scale, iters[2]),
                           stage3_freeze_end=min(55 * scale, iters[2]))
         obs_fn = make_obs_rgb
+    elif modality == "keypts":
+        # the reference fit_amass_keypts.cfg weight structure (verts3d
+        # data term; pose prior only in stages 1/2, smoothness off in
+        # stage 3)
+        w1 = E.StageWeights(verts3d=1.0, joints3d_smooth=10.0)
+        w2 = E.StageWeights(verts3d=1.0, pose_prior=2e-4,
+                            shape_prior=1.67e-4, joints3d_smooth=10.0)
+        w3 = E.StageWeights(verts3d=1.0, shape_prior=1.67e-4,
+                            motion_prior=1e-3, init_motion_prior=1e-3,
+                            joint_consistency=1.0, bone_length=10.0,
+                            contact_vel=1.0, contact_height=1.0)
+        cfg = O.TTOConfig(seq_len=T, stage_weights=(w1, w2, w3),
+                          num_iters=iters,
+                          stage3_freeze_start=min(30 * scale, iters[2]),
+                          stage3_freeze_end=min(55 * scale, iters[2]))
+        obs_fn = make_obs_keypts
     else:
         w1 = E.StageWeights(joints3d=1.0)
         w2 = E.StageWeights(joints3d=1.0, pose_prior=2e-4,
@@ -200,6 +235,7 @@ def bench_reference_style(quick=False, modality="joints3d"):
     torch.manual_seed(0)
     D_in, L, LP = 339, 48, 32
     rgb = modality == "rgb"
+    kp = modality == "keypts"
 
     def mlp(sizes):
         layers = [torch.nn.Linear(sizes[0], sizes[1])]
@@ -239,6 +275,10 @@ def bench_reference_style(quick=False, modality="joints3d"):
         return v, joints
 
     obs_joints = torch.randn(B, T, J, 3)
+    # fit_amass_keypts: the data term reads 43 chosen mesh vertices
+    # (reference body_model/utils.py KEYPT_VERTS + fitting_loss.py:372-376)
+    kp_ids = torch.randint(0, Vv, (43,))
+    obs_verts = torch.randn(B, T, 43, 3)
     NOP = 25
     obs_2d = torch.rand(B, T, NOP, 2) * 500.0
     conf_2d = torch.rand(B, T, NOP)
@@ -293,6 +333,10 @@ def bench_reference_style(quick=False, modality="joints3d"):
         if rgb:
             loss = project(joints.reshape(B, T, J, 3))
             loss = loss + overlap_terms(verts, betas)
+        elif kp:
+            loss = torch.sum(
+                (verts.reshape(B, T, Vv, 3)[:, :, kp_ids]
+                 - obs_verts) ** 2)
         else:
             loss = torch.sum(
                 (joints.reshape(B, T, J, 3) - obs_joints) ** 2)
@@ -361,6 +405,8 @@ def bench_reference_style(quick=False, modality="joints3d"):
                            cam_verts.reshape(B, T - 1, Vv, 3)[:, -1:]],
                           dim=1).reshape(B * T, Vv, 3), betas)
             loss = loss + torch.sum(floor_plane ** 2)
+        elif kp:
+            loss = torch.sum(verts[:, kp_ids] ** 2) * 1e-6
         else:
             loss = torch.sum(joints ** 2) * 1e-6
         loss = loss + torch.sum(latent_motion ** 2)
@@ -385,7 +431,7 @@ def main():
                          "outer counts (default = the measured accuracy "
                          "knee, bench_knee.py)")
     ap.add_argument("--modality", default="joints3d",
-                    choices=("joints3d", "rgb"),
+                    choices=("joints3d", "rgb", "keypts"),
                     help="'rgb' = 2D keypoints + floor optimization + "
                          "overlap consistency (the i3DB/PROX workload "
                          "BASELINE.md names); each modality's "
