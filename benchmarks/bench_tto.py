@@ -166,14 +166,14 @@ def bench_ours(quick=False, batch=B, scale=KNEE_SCALE, modality="joints3d"):
                           stage3_freeze_end=min(55 * scale, iters[2]))
         obs_fn = make_obs_rgb
     elif modality == "keypts":
-        # the reference fit_amass_keypts.cfg weight structure (verts3d
-        # data term; pose prior only in stages 1/2, smoothness off in
-        # stage 3)
-        w1 = E.StageWeights(verts3d=1.0, joints3d_smooth=10.0)
+        # the reference fit_amass_keypts.cfg weights (verts3d data
+        # term; joint3d-smooth 0.1 in stages 1/2, motion priors 5e-4 —
+        # NOT the joints config's 10.0/1e-3)
+        w1 = E.StageWeights(verts3d=1.0, joints3d_smooth=0.1)
         w2 = E.StageWeights(verts3d=1.0, pose_prior=2e-4,
-                            shape_prior=1.67e-4, joints3d_smooth=10.0)
+                            shape_prior=1.67e-4, joints3d_smooth=0.1)
         w3 = E.StageWeights(verts3d=1.0, shape_prior=1.67e-4,
-                            motion_prior=1e-3, init_motion_prior=1e-3,
+                            motion_prior=5e-4, init_motion_prior=5e-4,
                             joint_consistency=1.0, bone_length=10.0,
                             contact_vel=1.0, contact_height=1.0)
         cfg = O.TTOConfig(seq_len=T, stage_weights=(w1, w2, w3),
